@@ -1,0 +1,286 @@
+package graft.crawl
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.core.{BoilerplateExtractor, Hashing, LinkExtractor, UrlNormalizer}
+import graft.core.Model._
+import graft.operators.{Politeness, SeenSet}
+import graft.state.SnapshotTable
+
+/** The crawl engine: an iterative-batch frontier loop over snapshot
+  * tables (the Spark-native re-expression of the reference's
+  * taskmaster/crawlnode/taskfeeder trio — SURVEY.md §3 E1-E3).
+  *
+  * Per wave:
+  *  1. plan: pending frontier → robots filter → per-host budgeted pop
+  *     (two-stage salted window — exact per-host top-k, skew-safe);
+  *  2. fetch+extract: popped ⋈ pages-input on urlHash (the input table
+  *     IS the fetch source per input_hint); deterministic boilerplate
+  *     removal + outlink extraction in one pass over the html;
+  *  3. expand: links → canonicalize → in-batch dedup → bloom-prefiltered
+  *     anti-join against the frontier (URL-seen, SURVEY.md §2.4);
+  *  4. commit: stage wave artifacts (pages/links/order) as idempotent
+  *     parquet, then flip the snapshot tables in a fixed order —
+  *     pages → order → seen → frontier → metrics. A kill at any point
+  *     resumes without re-extracting anything (zero re-fetches): staged
+  *     artifacts are reused, already-flipped tables are skipped.
+  *
+  * Determinism: every dataset in the loop is a pure function of
+  * (input table, seeds, config); ordering contracts are total
+  * (score asc, urlHash asc), so crawl order and final state are
+  * identical across executor counts, partition counts and resumes.
+  */
+final class WaveRunner(
+    spark: SparkSession,
+    pagesInput: DataFrame,
+    stateRoot: String,
+    config: CrawlConfig = CrawlConfig(),
+    hostPolicies: Map[String, HostPolicy] = Map.empty,
+    robotsRules: Seq[RobotsRule] = Nil) {
+
+  import spark.implicits._
+
+  val frontierT = SnapshotTable(spark, stateRoot, "frontier")
+  val seenT = SnapshotTable(spark, stateRoot, "seen")
+  val pagesT = SnapshotTable(spark, stateRoot, "pages")
+  val orderT = SnapshotTable(spark, stateRoot, "order")
+  val metricsT = SnapshotTable(spark, stateRoot, "metrics")
+
+  /** Rows actually put through fetch+extract this run — the probe the
+    * resume test uses to assert zero re-fetches.
+    */
+  val extractCounter = spark.sparkContext.longAccumulator("graft.extracted")
+
+  /** Test hook: crash-inject between the pages flip and the remaining
+    * flips to exercise mid-wave resume.
+    */
+  private[graft] var failAfterPagesCommit: Boolean = false
+
+  // fetch source keyed by canonical-url hash; never joins on raw strings
+  private val pagesByHash: DataFrame = pagesInput
+    .select(xxhash64(col("url")).as("page_urlHash"),
+      col("url").as("page_url"), col("html"))
+
+  private def budgetFor = {
+    val policies = hostPolicies // stable closure capture
+    val default = config.defaultMaxPerWave
+    udf { (host: String) =>
+      policies.get(host).map(_.maxPerWave).getOrElse(default)
+    }
+  }
+
+  /** Initialize the frontier from a seed list (url, priority). Commits
+    * frontier wave 0. No-op if the frontier already exists (resume).
+    */
+  def initSeeds(seeds: Seq[(String, Int)]): Unit = {
+    if (frontierT.exists()) return
+    val entries = seeds.flatMap { case (url, priority) =>
+      UrlNormalizer.canonicalize(url).map { canonical =>
+        FrontierEntry(
+          urlHash = Hashing.xxhash64(canonical),
+          url = canonical,
+          host = UrlNormalizer.hostOf(canonical),
+          depth = 0,
+          priority = priority,
+          score = score(priority, 0),
+          discoveredWave = 0,
+          state = FrontierState.Pending)
+      }
+    }.distinct
+    frontierT.commit(entries.toDS().toDF(), wave = 0)
+    seenT.commit(spark.emptyDataset[SeenEntry].toDF(), wave = 0)
+  }
+
+  /** Run waves until the frontier drains or maxWaves is hit; returns
+    * the number of the last completed wave.
+    */
+  def run(): Int = {
+    var wave = frontierT.committedWave() + 1
+    var continue = true
+    while (continue && wave <= config.maxWaves) {
+      continue = runWave(wave)
+      if (continue) wave += 1
+    }
+    frontierT.committedWave()
+  }
+
+  /** Execute (or resume) wave `w`. Returns false when there was nothing
+    * left to schedule (crawl drained).
+    */
+  def runWave(w: Int): Boolean = {
+    require(frontierT.exists(), "initSeeds must run before waves")
+    if (frontierT.committedWave() >= w) return true // already fully committed
+
+    val t0 = System.nanoTime()
+    val staging = Paths.get(stateRoot, "staging", s"wave_$w")
+    val stagedMarker = staging.resolve("_STAGED")
+
+    if (!Files.exists(stagedMarker)) {
+      val didStage = stageWave(w, staging.toString)
+      if (!didStage) return false // frontier drained
+      Files.write(stagedMarker, Array.emptyByteArray)
+    }
+
+    // ---- commit phase: idempotent per table, fixed order ----
+    val stagedPages = spark.read.parquet(s"$staging/pages")
+    val stagedOrder = spark.read.parquet(s"$staging/order")
+    val stagedNew = spark.read.parquet(s"$staging/new_frontier")
+    val stagedPopped = spark.read.parquet(s"$staging/popped") // urlHash + state
+
+    if (pagesT.committedWave() < w)
+      pagesT.appendCommit(stagedPages, w)
+    if (failAfterPagesCommit)
+      throw new IllegalStateException("simulated kill between table flips")
+    if (orderT.committedWave() < w)
+      orderT.appendCommit(stagedOrder, w)
+    if (seenT.committedWave() < w) {
+      val seenNew = stagedPages.select(col("urlHash"), col("contentHash"), lit(w).as("wave"))
+      val merged = seenT.read().map(_.unionByName(seenNew)).getOrElse(seenNew)
+      seenT.commit(merged, w)
+    }
+    if (frontierT.committedWave() < w) {
+      val frontier = frontierT.read().get
+      val updated = frontier
+        .join(stagedPopped.withColumnRenamed("state", "new_state"), Seq("urlHash"), "left")
+        .withColumn("state", coalesce(col("new_state"), col("state")))
+        .drop("new_state")
+        .unionByName(stagedNew)
+      frontierT.commit(updated, w)
+    }
+    if (metricsT.committedWave() < w) {
+      val scheduled = stagedPopped.count()
+      val fetched = stagedPages.count()
+      val bytes = stagedPages.agg(coalesce(sum("htmlBytes"), lit(0L))).as[Long].head()
+      val newUrls = stagedNew.count()
+      val pendingLeft = frontierT.read().get
+        .filter(col("state") === FrontierState.Pending).count()
+      val m = WaveMetrics(w, scheduled, fetched, scheduled - fetched, bytes,
+        newUrls, pendingLeft, (System.nanoTime() - t0) / 1000000L)
+      metricsT.appendCommit(Seq(m).toDS().toDF(), w)
+    }
+    true
+  }
+
+  /** Compute a wave's artifacts into the staging dir. Returns false if
+    * nothing is pending. This is the only phase that touches html; it
+    * runs at most once per wave across kills/resumes.
+    */
+  private def stageWave(w: Int, staging: String): Boolean = {
+    val frontier = frontierT.read().get
+    val pending = frontier
+      .filter(col("state") === FrontierState.Pending &&
+        col("depth") <= config.maxDepth)
+    val allowed = Politeness.robotsFilter(pending, robotsRules)
+
+    // salt-slot counts: only hosts above saltTarget need slots > 1;
+    // that set is small by construction, so it broadcasts.
+    val heavyHosts = allowed.groupBy("host")
+      .agg(count(lit(1)).as("pending_mass"))
+      .filter(col("pending_mass") > config.saltTarget)
+      .withColumn("saltSlots",
+        Politeness.saltSlotsCol(col("pending_mass"), config.saltTarget))
+      .select("host", "saltSlots")
+
+    val withBudget = allowed
+      .join(broadcast(heavyHosts), Seq("host"), "left")
+      .withColumn("saltSlots", coalesce(col("saltSlots"), lit(1)))
+      .withColumn("maxPerWave", budgetFor(col("host")))
+
+    val popped = Politeness.popPerHost(withBudget)
+      .select("urlHash", "url", "host", "depth", "priority", "score")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    if (popped.isEmpty) { popped.unpersist(); return false }
+
+    // ---- fetch + extract (one pass over html) ----
+    val counter = extractCounter
+    val joined = popped.join(pagesByHash,
+      popped("urlHash") === pagesByHash("page_urlHash"), "left")
+
+    val fetchedRaw = joined.filter(col("page_urlHash").isNotNull)
+      .select("urlHash", "url", "depth", "priority", "html")
+      .as[(Long, String, Int, Int, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (urlHash, url, depth, priority, html) =>
+          counter.add(1)
+          val s = new String(html, UTF_8)
+          val title = BoilerplateExtractor.extractTitle(s).getOrElse("No Title")
+          val text = BoilerplateExtractor.extractText(s)
+          val links = LinkExtractor.extractLinks(s, url)
+            .map(_.url).filter(_ != url).distinct // self-link drop (F8)
+          (urlHash, url, title, text,
+            Hashing.contentHash(Seq(text, title)), // reference hash rule (O6)
+            html.length.toLong, links.toArray, depth, priority)
+        }
+      }
+      .toDF("urlHash", "url", "title", "text", "contentHash",
+        "htmlBytes", "links", "depth", "priority")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val pagesOut = fetchedRaw.select(
+      col("urlHash"), col("url"), lit(w).as("wave"), col("title"),
+      col("text"), col("contentHash"), col("htmlBytes"),
+      size(col("links")).as("nOutlinks"))
+
+    // ---- frontier expansion (E2): explode links, dedup, anti-join ----
+    val candidates = fetchedRaw
+      .select(col("depth"), col("priority"), explode(col("links")).as("url"))
+      .withColumn("urlHash", xxhash64(col("url")))
+      // in-batch dedup (D4): deterministic representative per url —
+      // min() everywhere (never first(), which is partition-order
+      // dependent); lowest depth/priority wins = first-discovery rule
+      .groupBy("urlHash")
+      .agg(min(col("url")).as("url"),
+        min(col("depth")).as("pdepth"), min(col("priority")).as("priority"))
+
+    val frontierKeys = frontier.select("urlHash")
+    val bloom = SeenSet.buildBloom(frontierKeys, "urlHash",
+      math.max(frontierKeys.count(), 1L), config.bloomFpp)
+    val newEntries = SeenSet.notSeen(candidates, Some(frontierKeys), Some(bloom))
+      .select(
+        col("urlHash"), col("url"),
+        udf((u: String) => UrlNormalizer.hostOf(u)).apply(col("url")).as("host"),
+        (col("pdepth") + 1).as("depth"),
+        col("priority"),
+        (col("priority").cast("long") * 1000000L + col("pdepth") + 1).as("score"),
+        lit(w).as("discoveredWave"),
+        lit(FrontierState.Pending).as("state"))
+
+    // ---- stage artifacts (idempotent overwrite) ----
+    pagesOut.write.mode(SaveMode.Overwrite).parquet(s"$staging/pages")
+    val fetchedKeys = fetchedRaw.select(col("urlHash"), lit(FrontierState.Fetched).as("state"))
+    val failedKeys = popped.select("urlHash")
+      .join(fetchedRaw.select("urlHash"), Seq("urlHash"), "left_anti")
+      .withColumn("state", lit(FrontierState.Failed))
+    fetchedKeys.unionByName(failedKeys)
+      .write.mode(SaveMode.Overwrite).parquet(s"$staging/popped")
+    popped.select(lit(w).as("wave"), col("score"), col("urlHash"), col("url"))
+      .orderBy(col("score").asc, col("urlHash").asc)
+      .write.mode(SaveMode.Overwrite).parquet(s"$staging/order")
+    newEntries.write.mode(SaveMode.Overwrite).parquet(s"$staging/new_frontier")
+
+    fetchedRaw.unpersist()
+    popped.unpersist()
+    true
+  }
+
+  /** The crawl-order log (wave asc, score asc, urlHash asc) — the
+    * ordering-parity contract output.
+    */
+  def crawlOrder(): DataFrame =
+    orderT.read().getOrElse(spark.emptyDataset[CrawlOrderEntry].toDF())
+      .orderBy(col("wave").asc, col("score").asc, col("urlHash").asc)
+
+  def seen(): DataFrame =
+    seenT.read().getOrElse(spark.emptyDataset[SeenEntry].toDF())
+
+  def pages(): DataFrame =
+    pagesT.read().getOrElse(spark.emptyDataFrame)
+
+  def metrics(): DataFrame =
+    metricsT.read().getOrElse(spark.emptyDataset[WaveMetrics].toDF())
+}

@@ -1,0 +1,161 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Model.RobotsRule
+
+/** Per-host politeness: robots.txt gating + per-wave crawl budgets,
+  * enforced with explicit skew control.
+  *
+  * The reference's politeness is per-source rate limiting with no
+  * robots support (SURVEY.md §2.8); the north rule adds robots.txt
+  * and per-host budgets. Both are implemented as declarative plan
+  * pieces: robots rules are a small dimension broadcast into a filter;
+  * budget selection is a two-stage per-host top-k that stays skew-safe
+  * at 10^10 frontier rows.
+  */
+object Politeness {
+
+  // ---- robots.txt ----
+
+  /** Parse one host's robots.txt for `userAgent` (group matching: the
+    * most specific matching User-agent group wins; `*` is the
+    * fallback). Returns Allow/Disallow prefix rules + crawl-delay.
+    * Pure, total (malformed lines are skipped).
+    */
+  def parseRobots(host: String, robotsTxt: String, userAgent: String)
+      : (Seq[RobotsRule], Option[Long]) = {
+    final case class Group(agents: Seq[String], rules: Seq[(Boolean, String)],
+                           delay: Option[Double])
+    val groups = scala.collection.mutable.ListBuffer.empty[Group]
+    var agents = Vector.empty[String]
+    var rules = Vector.empty[(Boolean, String)]
+    var delay: Option[Double] = None
+    var inRules = false
+    def flush(): Unit = {
+      if (agents.nonEmpty) groups += Group(agents, rules, delay)
+      agents = Vector.empty; rules = Vector.empty; delay = None; inRules = false
+    }
+    robotsTxt.linesIterator.foreach { raw =>
+      val line = raw.takeWhile(_ != '#').trim
+      val colon = line.indexOf(':')
+      if (colon > 0) {
+        val key = line.substring(0, colon).trim.toLowerCase
+        val value = line.substring(colon + 1).trim
+        key match {
+          case "user-agent" =>
+            if (inRules) flush()
+            agents :+= value.toLowerCase
+          case "allow" => inRules = true; if (value.nonEmpty) rules :+= (true, value)
+          case "disallow" =>
+            inRules = true
+            if (value.nonEmpty) rules :+= (false, value) // empty Disallow = allow all
+          case "crawl-delay" =>
+            inRules = true
+            delay = value.toDoubleOption.orElse(delay)
+          case _ =>
+        }
+      }
+    }
+    flush()
+    val ua = userAgent.toLowerCase
+    val matching = groups.filter(g => g.agents.exists(a => a == "*" || ua.contains(a)))
+    val chosen =
+      if (matching.exists(g => g.agents.exists(a => a != "*" && ua.contains(a))))
+        matching.filter(g => g.agents.exists(a => a != "*" && ua.contains(a)))
+      else matching
+    val allRules = chosen.flatMap(_.rules).map { case (allow, prefix) =>
+      RobotsRule(host, allow, prefix)
+    }.toSeq
+    val crawlDelayMs = chosen.flatMap(_.delay).headOption.map(d => (d * 1000).toLong)
+    (allRules, crawlDelayMs)
+  }
+
+  /** Longest-prefix-match robots decision; Allow wins length ties
+    * (Google/RFC 9309 semantics). No rules ⇒ allowed.
+    */
+  def allowed(rules: Seq[RobotsRule], path: String): Boolean = {
+    var bestLen = -1
+    var bestAllow = true
+    rules.foreach { r =>
+      if (path.startsWith(r.pathPrefix) && {
+            r.pathPrefix.length > bestLen ||
+            (r.pathPrefix.length == bestLen && r.allow && !bestAllow)
+          }) {
+        bestLen = r.pathPrefix.length
+        bestAllow = r.allow
+      }
+    }
+    bestAllow
+  }
+
+  /** Filter a frontier DataFrame (columns url, host, ...) down to
+    * robots-allowed rows. `robotsRules` is a small dimension
+    * (host, allow, pathPrefix) — grouped per host on the driver and
+    * shipped in the closure (the rules table for even 10^8 hosts with
+    * rules is map-side-joinable; for truly huge rule sets swap this
+    * for a broadcast join on host + an aggregated rule evaluation).
+    */
+  def robotsFilter(frontier: DataFrame, robotsRules: Seq[RobotsRule]): DataFrame = {
+    if (robotsRules.isEmpty) return frontier
+    val byHost: Map[String, Seq[RobotsRule]] = robotsRules.groupBy(_.host)
+    val allowedUdf = udf { (host: String, url: String) =>
+      byHost.get(host) match {
+        case None => true
+        case Some(rules) =>
+          val path = {
+            val p = graft.core.UrlNormalizer.parse(url).path
+            if (p.isEmpty) "/" else p
+          }
+          allowed(rules, path)
+      }
+    }
+    frontier.filter(allowedUdf(col("host"), col("url")))
+  }
+
+  /** Per-host top-k pop with explicit skew control (SURVEY.md §4).
+    *
+    * Two stages:
+    *  1. salt: rank within (host, saltSlot) and keep `budget` rows per
+    *     slot — a mega-host's frontier spreads over its slots, so no
+    *     single window partition exceeds ~saltTarget rows;
+    *  2. exact: re-rank the survivors within host (at most
+    *     slots×budget rows per host — tiny) and keep the global
+    *     per-host top-`budget`.
+    *
+    * The result is EXACTLY the unsalted per-host top-k (same selection,
+    * same order contract (score asc, urlHash asc)), but the heavy
+    * window never sees a skewed partition. `saltSlots` is a
+    * deterministic per-host slot count column.
+    *
+    * Frontier columns required: host, score, urlHash, maxPerWave,
+    * saltSlots.
+    */
+  def popPerHost(frontier: DataFrame): DataFrame = {
+    val slotted = frontier.withColumn(
+      "salt_slot",
+      pmod(col("urlHash"), greatest(col("saltSlots"), lit(1))).cast("int"))
+    val wSlot = Window.partitionBy(col("host"), col("salt_slot"))
+      .orderBy(col("score").asc, col("urlHash").asc)
+    val stage1 = slotted
+      .withColumn("rn1", row_number().over(wSlot))
+      .filter(col("rn1") <= col("maxPerWave"))
+      .drop("rn1")
+    val wHost = Window.partitionBy(col("host"))
+      .orderBy(col("score").asc, col("urlHash").asc)
+    stage1
+      .withColumn("rn2", row_number().over(wHost))
+      .filter(col("rn2") <= col("maxPerWave"))
+      .drop("rn2", "salt_slot")
+  }
+
+  /** Deterministic per-host salt-slot count: ceil(pendingMass /
+    * saltTarget), at least 1. Computed from an aggregation over the
+    * pending frontier — exact, parallelism-independent.
+    */
+  def saltSlotsCol(pendingMass: Column, saltTarget: Long): Column =
+    greatest(ceil(pendingMass.cast("double") / lit(saltTarget.toDouble)), lit(1))
+      .cast("int")
+}

@@ -1,0 +1,149 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.Model.RobotsRule
+import graft.operators.{Politeness, SeenSet}
+import graft.state.SnapshotTable
+
+/** Unit coverage for the state layer and the politeness / seen-set
+  * operators (FIXTURES.md §5).
+  */
+class StateAndOperatorsSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-state-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def implicits = { val s = spark; s.implicits }
+
+  test("snapshot table: commit / read / version / wave") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-st-").toString
+    val t = SnapshotTable(spark, root, "t1")
+    assert(t.read().isEmpty)
+    assert(t.committedWave() === -1)
+    t.commit(Seq(1, 2, 3).toDF("x"), wave = 1)
+    assert(t.read().get.count() === 3)
+    assert(t.currentVersion() === Some(1))
+    assert(t.committedWave() === 1)
+    t.commit(Seq(9).toDF("x"), wave = 2)
+    assert(t.read().get.count() === 1) // replace semantics
+    assert(t.currentVersion() === Some(2))
+  }
+
+  test("snapshot table: append segments accumulate, vacuum keeps live") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-st-").toString
+    val t = SnapshotTable(spark, root, "log")
+    t.appendCommit(Seq(1, 2).toDF("x"), wave = 1)
+    t.appendCommit(Seq(3).toDF("x"), wave = 2)
+    t.appendCommit(Seq(4, 5).toDF("x"), wave = 3)
+    assert(t.read().get.count() === 5)
+    assert(t.currentManifest().get.segments === Seq(1, 2, 3))
+    t.vacuum() // all segments live: nothing removed
+    assert(t.read().get.count() === 5)
+  }
+
+  test("snapshot table: rollback points at an old version") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-st-").toString
+    val t = SnapshotTable(spark, root, "t2")
+    t.commit(Seq(1, 2, 3).toDF("x"), wave = 1)
+    t.commit(Seq(4).toDF("x"), wave = 2)
+    t.rollback(1)
+    assert(t.read().get.count() === 3)
+  }
+
+  test("snapshot table: lineage lists parquet files with sizes") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-st-").toString
+    val t = SnapshotTable(spark, root, "t3")
+    t.commit(Seq(1, 2, 3).toDF("x").repartition(3), wave = 1)
+    val m = t.currentManifest().get
+    assert(m.files.nonEmpty)
+    assert(m.files.forall(_.bytes > 0))
+  }
+
+  test("robots parse: groups, specificity, crawl-delay") {
+    val txt =
+      """# comment
+        |User-agent: *
+        |Disallow: /private
+        |Allow: /private/ok
+        |Crawl-delay: 2
+        |
+        |User-agent: graft
+        |Disallow: /graft-only
+        |""".stripMargin
+    val (rulesAll, delayAll) = Politeness.parseRobots("h", txt, "otherbot")
+    assert(rulesAll.map(r => (r.allow, r.pathPrefix)).toSet ===
+      Set((false, "/private"), (true, "/private/ok")))
+    assert(delayAll === Some(2000L))
+    // specific UA group wins over *
+    val (rulesG, _) = Politeness.parseRobots("h", txt, "graft/1.0")
+    assert(rulesG.map(_.pathPrefix) === Seq("/graft-only"))
+  }
+
+  test("robots allowed: longest prefix match, allow wins ties") {
+    val rules = Seq(
+      RobotsRule("h", allow = false, "/a"),
+      RobotsRule("h", allow = true, "/a/b"),
+      RobotsRule("h", allow = true, "/c"),
+      RobotsRule("h", allow = false, "/c"))
+    assert(!Politeness.allowed(rules, "/a/x"))
+    assert(Politeness.allowed(rules, "/a/b/x"))
+    assert(Politeness.allowed(rules, "/c/anything")) // allow wins the tie
+    assert(Politeness.allowed(rules, "/elsewhere")) // no match = allowed
+  }
+
+  test("popPerHost: salted two-stage pop equals the exact per-host top-k") {
+    import spark.implicits._
+    // skewed: host h0 has 500 rows, others 20
+    val rows = (0 until 500).map(i => ("h0", i.toLong * 7 % 1000, i.toLong, 3)) ++
+      (0 until 20).flatMap(i => Seq(
+        ("h1", i.toLong, 1000L + i, 3), ("h2", (20 - i).toLong, 2000L + i, 3)))
+    val df = rows.toDF("host", "score", "urlHash", "maxPerWave")
+      .withColumn("saltSlots", when(col("host") === "h0", lit(7)).otherwise(lit(1)))
+    val got = Politeness.popPerHost(df)
+      .select("host", "urlHash").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    // oracle: plain per-host top-3 by (score, urlHash)
+    val expected = rows.groupBy(_._1).toSeq.flatMap { case (h, rs) =>
+      rs.sortBy(r => (r._2, r._3)).take(3).map(r => (h, r._3))
+    }.toSet
+    assert(got === expected)
+  }
+
+  test("bloom seen-set: no false negatives; notSeen is exact") {
+    import spark.implicits._
+    val seen = (0L until 2000L).map(i => i * 31 % 100000).distinct.toDF("urlHash")
+    val candidates = (0L until 3000L).map(i => i * 17 % 120000).distinct.toDF("urlHash")
+    val bloom = SeenSet.buildBloom(seen, "urlHash", 2000, 0.03)
+    // property: every seen element is maybe-contained (no false negatives)
+    seen.collect().map(_.getLong(0)).foreach { h =>
+      assert(bloom.mightContainLong(h), s"false negative for $h")
+    }
+    val withBloom = SeenSet.notSeen(candidates, Some(seen), Some(bloom))
+      .collect().map(_.getLong(0)).toSet
+    val exact = SeenSet.notSeen(candidates, Some(seen), None)
+      .collect().map(_.getLong(0)).toSet
+    assert(withBloom === exact)
+  }
+
+  test("changedOrNew: unchanged content is skipped, changed re-enters") {
+    import spark.implicits._
+    val seen = Seq((1L, "aaa"), (2L, "bbb")).toDF("urlHash", "contentHash")
+    val candidates = Seq((1L, "aaa"), (2L, "CHANGED"), (3L, "ccc"))
+      .toDF("urlHash", "contentHash")
+    val got = SeenSet.changedOrNew(candidates, seen)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got === Set((2L, "CHANGED"), (3L, "ccc")))
+  }
+}
