@@ -1,13 +1,275 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.core.Model.CrawlConfig
+import graft.crawl.{SyntheticCorpus, WaveRunner}
+import graft.queries.QueryCatalog._
+
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** Flagship: a full crawl (seeds → waves → order log) over a small
+    * deterministic synthetic corpus, exercised end-to-end — the
+    * engine's reason to exist. Returns the crawl-order log
+    * (wave, score, urlHash, url); driver smoke-checks rows > 0.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val spec = SyntheticCorpus.Spec(numUrls = 300, numHosts = 12)
+    val corpus = SyntheticCorpus.generate(spark, spec).toDF()
+    val stateRoot = Files.createTempDirectory("graft-entry-").toString
+    val runner = new WaveRunner(spark, corpus, stateRoot,
+      CrawlConfig(maxDepth = 1, defaultMaxPerWave = 20, maxWaves = 3))
+    runner.initSeeds(Seq(
+      SyntheticCorpus.urlFor(0, spec) -> 1,
+      SyntheticCorpus.urlFor(5, spec) -> 2))
+    runner.run()
+    runner.crawlOrder()
+  }
+
+  /** One entry per implemented operator from SURVEY.md §2 (+ the
+    * training-data-pipeline operators). All take (session, sfDir).
+    */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // aggregations
+    "q_metrics_agg" -> (qMetricsAgg(_, _)),
+    "q_daily_rollup" -> (qDailyRollup(_, _)),
+    "q_window_agg" -> (qWindowAgg(_, _)),
+    // joins
+    "q_asof_latest" -> (qAsofLatest(_, _)),
+    "q_groupwise_max" -> (qGroupwiseMax(_, _)),
+    "q_multiway_join_case" -> (qMultiwayJoinCase(_, _)),
+    "q_semi_join" -> (qSemiJoin(_, _)),
+    "q_anti_join" -> (qAntiJoin(_, _)),
+    "q_version_chain" -> (qVersionChain(_, _)),
+    // filters / scheduling
+    "q_topk_per_group" -> (qTopkPerGroup(_, _)),
+    "q_politeness_pop" -> (qPolitenessPop(_, _)),
+    "q_priority_score" -> (qPriorityScore(_, _)),
+    "q_watermark_filter" -> (qWatermarkFilter(_, _)),
+    "q_mime_whitelist" -> (qMimeWhitelist(_, _)),
+    "q_depth_gate" -> (qDepthGate(_, _)),
+    "q_regex_filter" -> (qRegexFilter(_, _)),
+    "q_exclusion_filter" -> (qExclusionFilter(_, _)),
+    "q_essential_fields" -> (qEssentialFields(_, _)),
+    "q_eav_typing" -> (qEavTyping(_, _)),
+    // crawl scalar ops
+    "q_url_canonicalize" -> (qUrlCanonicalize(_, _)),
+    "q_extract_text" -> (qExtractText(_, _)),
+    "q_extract_links" -> (qExtractLinks(_, _)),
+    "q_content_hash" -> (qContentHash(_, _)),
+    "q_keyword_filter" -> (qKeywordFilter(_, _)),
+    // text analysis
+    "q_token_count" -> (qTokenCount(_, _)),
+    "q_token_stats" -> (qTokenStats(_, _)),
+    "q_quality_score" -> (qQualityScore(_, _)),
+    "q_text_profile" -> (qTextProfile(_, _)),
+    "q_stopword_ratio" -> (qStopwordRatio(_, _)),
+    "q_fingerprint" -> (qFingerprint(_, _)),
+    // dedup family
+    "q_dedup_exact" -> (qDedupExact(_, _)),
+    "q_dedup_exact_keep" -> (qDedupExactKeep(_, _)),
+    "q_minhash_pairs" -> (qMinhashPairs(_, _)),
+    "q_minhash_dedup" -> (qMinhashDedup(_, _)),
+    "q_simhash_pairs" -> (qSimhashPairs(_, _)),
+    "q_ngram_jaccard" -> (qNgramJaccard(_, _)),
+    // similarity search
+    "q_cosine_topk" -> (qCosineTopK(_, _)),
+    "q_ann_lsh" -> (qAnnLsh(_, _)),
+    "q_cosine_dup_pairs" -> (qCosineDupPairs(_, _)),
+    // multimodal plumbing
+    "q_media_features" -> (qMediaFeatures(_, _)))
+
+  /** DuckDB oracles (ANSI SQL over the same parquet tables). Keys
+    * absent here get the driver's weaker rows-only check — that set is
+    * exactly the operators whose semantics live in engine code (LSH
+    * bucketing, winnowing, heuristic profiles, stubbed media), each
+    * pinned by its own unit test instead.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q_metrics_agg" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_items,
+        | round(sum(l_quantity), 2) AS sum_qty,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem GROUP BY 1, 2""".stripMargin,
+    "q_daily_rollup" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+        | count(*) AS n_events, round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_window_agg" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+        | event_type, count(*) AS n_events
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_asof_latest" ->
+      """SELECT user_id, event_id AS latest_event_id, event_type AS latest_type
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |  ORDER BY ts DESC, event_id DESC) AS rn FROM events) WHERE rn = 1""".stripMargin,
+    "q_groupwise_max" ->
+      """SELECT event_type, event_id AS max_event_id, round(value, 4) AS max_value
+        |FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+        |  ORDER BY value DESC, event_id ASC) AS rn FROM events) WHERE rn = 1""".stripMargin,
+    "q_multiway_join_case" ->
+      """SELECT r_name,
+        | round(sum((CASE WHEN l_returnflag = 'R' THEN -1.0
+        |   WHEN l_returnflag = 'A' THEN 1.0 ELSE 0.5 END) * l_extendedprice), 2)
+        |   AS weighted_rev,
+        | count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1""".stripMargin,
+    "q_semi_join" ->
+      """SELECT p_partkey, p_name FROM part
+        |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)""".stripMargin,
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 400000)""".stripMargin,
+    "q_version_chain" ->
+      """SELECT event_id, user_id, event_type, version_number,
+        | version_number = max(version_number)
+        |   OVER (PARTITION BY user_id, event_type) AS is_latest
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+        |  ORDER BY ts ASC, event_id ASC) AS version_number FROM events)""".stripMargin,
+    "q_topk_per_group" ->
+      """SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price, rnk
+        |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk FROM orders)
+        |WHERE rnk <= 3""".stripMargin,
+    "q_politeness_pop" ->
+      """SELECT source, doc_id, n_chars
+        |FROM (SELECT *, row_number() OVER (PARTITION BY source
+        |  ORDER BY n_chars DESC, doc_id ASC) AS rnk FROM documents)
+        |WHERE rnk <= 2""".stripMargin,
+    "q_priority_score" ->
+      """SELECT o_orderkey,
+        | CAST(floor(96 / ((o_orderkey % 5) + 1)) + 1 AS int) AS priority
+        |FROM orders""".stripMargin,
+    "q_watermark_filter" ->
+      """SELECT event_type, count(*) AS n_after,
+        | CAST(floor(max(epoch(ts))) AS bigint) AS max_epoch
+        |FROM events WHERE ts > TIMESTAMP '2024-01-20 12:00:00'
+        |GROUP BY 1""".stripMargin,
+    "q_mime_whitelist" ->
+      """SELECT event_type, count(*) AS n_events FROM events
+        |WHERE event_type IN ('click', 'view', 'purchase') GROUP BY 1""".stripMargin,
+    "q_depth_gate" ->
+      """SELECT l_returnflag, count(*) AS n_rows FROM lineitem
+        |WHERE l_linenumber <= 3 GROUP BY 1""".stripMargin,
+    "q_regex_filter" ->
+      """SELECT lang, count(*) AS n_docs FROM documents
+        |WHERE regexp_matches(text, 'spark.*join') GROUP BY 1""".stripMargin,
+    "q_exclusion_filter" ->
+      """SELECT source, count(*) AS n_kept FROM documents
+        |WHERE NOT regexp_matches(text, '(^|[^A-Za-z0-9_])(vector|stream)([^A-Za-z0-9_]|$)')
+        |GROUP BY 1""".stripMargin,
+    "q_essential_fields" ->
+      """SELECT doc_id, substr(text, 1, 40) AS title, length(text) AS data_len
+        |FROM documents WHERE length(trim(text)) > 0""".stripMargin,
+    "q_eav_typing" ->
+      """WITH eav AS (
+        | SELECT l_orderkey, l_linenumber, 'ei_quantity' AS field_key,
+        |   CAST(l_quantity AS varchar) AS field_value FROM lineitem WHERE l_orderkey <= 100
+        | UNION ALL
+        | SELECT l_orderkey, l_linenumber, 'ef_price',
+        |   CAST(round(l_extendedprice, 2) AS varchar) FROM lineitem WHERE l_orderkey <= 100
+        | UNION ALL
+        | SELECT l_orderkey, l_linenumber, 'et_flag', l_returnflag
+        |   FROM lineitem WHERE l_orderkey <= 100)
+        |SELECT *, CASE WHEN field_key LIKE 'ei_%' THEN 'integer'
+        |  WHEN field_key LIKE 'ef_%' THEN 'float' ELSE 'text' END AS field_type
+        |FROM eav""".stripMargin,
+    "q_url_canonicalize" ->
+      """SELECT doc_id, 'http://' || source || '.example.com/a/p/' || doc_id
+        | || '?id=' || doc_id AS canonical_url
+        |FROM documents""".stripMargin,
+    "q_extract_text" ->
+      """SELECT doc_id,
+        | CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) >= 5
+        |   AND length(trim(text)) >= 2
+        |  THEN trim(text) ELSE '' END AS extracted
+        |FROM documents""".stripMargin,
+    "q_extract_links" ->
+      """SELECT doc_id, 'http://' || source || '.test/p/' || doc_id AS out_url
+        | FROM documents
+        |UNION ALL
+        |SELECT doc_id, 'http://other.com/q?z=' || doc_id AS out_url
+        | FROM documents""".stripMargin,
+    "q_content_hash" ->
+      """SELECT doc_id,
+        | md5(CASE WHEN ('doc-' || doc_id) < text
+        |   THEN ('doc-' || doc_id) || text ELSE text || ('doc-' || doc_id) END)
+        |  AS content_hash
+        |FROM documents""".stripMargin,
+    "q_keyword_filter" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE list_contains(regexp_split_to_array(lower(text), '[^a-z0-9_'']+'), 'spark')
+        | AND (list_contains(regexp_split_to_array(lower(text), '[^a-z0-9_'']+'), 'join')
+        |  OR list_contains(regexp_split_to_array(lower(text), '[^a-z0-9_'']+'), 'merge'))""".stripMargin,
+    "q_token_count" ->
+      """SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN 0
+        | ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+        |FROM documents""".stripMargin,
+    "q_token_stats" ->
+      """SELECT lang, CAST(sum(n) AS bigint) AS total_tokens,
+        | round(avg(n), 4) AS avg_tokens
+        |FROM (SELECT lang, CASE WHEN length(trim(text)) = 0 THEN 0
+        |  ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n FROM documents)
+        |GROUP BY 1""".stripMargin,
+    "q_quality_score" ->
+      """SELECT doc_id, least(length(trim(text)), 500) AS len_score,
+        | CASE WHEN length(trim(text)) = 0 THEN 0
+        |  ELSE (length(regexp_replace(trim(text), '[^a-zA-Z]', '', 'g')) * 10000)
+        |    // length(trim(text)) END AS alpha_bp
+        |FROM documents""".stripMargin,
+    "q_stopword_ratio" ->
+      """SELECT doc_id,
+        | round(CASE WHEN len(w) = 0 THEN 0.0 ELSE
+        |   len(list_filter(w, x -> x IN ('the','a','and','of','to','in'))) * 1.0
+        |     / len(w) END, 4) AS stop_ratio
+        |FROM (SELECT doc_id,
+        |  list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_'']+'),
+        |    x -> length(x) > 0) AS w
+        | FROM documents)""".stripMargin,
+    "q_dedup_exact" ->
+      """SELECT count(*) AS n_groups, CAST(sum(group_size) AS bigint) AS n_docs,
+        | CAST(sum(CASE WHEN group_size > 1 THEN group_size - 1 ELSE 0 END) AS bigint)
+        |   AS n_redundant
+        |FROM (SELECT md5(trim(lower(text))) AS k, count(*) AS group_size
+        | FROM documents GROUP BY 1)""".stripMargin,
+    "q_dedup_exact_keep" ->
+      """SELECT min(doc_id) AS doc_id FROM documents
+        |GROUP BY md5(trim(lower(text)))""".stripMargin,
+    "q_ngram_jaccard" ->
+      """WITH sets AS (SELECT doc_id,
+        |  list_sort(list_distinct(list_filter(
+        |    regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |    x -> length(x) > 0))) AS wset
+        | FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        | round(len(list_intersect(a.wset, b.wset)) * 1.0 /
+        |   len(list_distinct(list_concat(a.wset, b.wset))), 4) AS jaccard
+        |FROM sets a JOIN sets b ON b.doc_id = a.doc_id + 1""".stripMargin,
+    "q_cosine_topk" ->
+      """SELECT query_id, neighbor_id, round(cosine, 4) AS cosine, rank FROM (
+        | SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |  CASE WHEN list_dot_product(q.embedding, q.embedding) = 0
+        |    OR list_dot_product(c.embedding, c.embedding) = 0 THEN 0.0
+        |   ELSE list_dot_product(q.embedding, c.embedding) /
+        |    (sqrt(list_dot_product(q.embedding, q.embedding)) *
+        |     sqrt(list_dot_product(c.embedding, c.embedding))) END AS cosine,
+        |  row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |   (CASE WHEN list_dot_product(q.embedding, q.embedding) = 0
+        |     OR list_dot_product(c.embedding, c.embedding) = 0 THEN 0.0
+        |    ELSE list_dot_product(q.embedding, c.embedding) /
+        |     (sqrt(list_dot_product(q.embedding, q.embedding)) *
+        |      sqrt(list_dot_product(c.embedding, c.embedding))) END) DESC,
+        |   c.vec_id ASC) AS rank
+        | FROM embeddings q, embeddings c
+        | WHERE q.vec_id < 30 AND q.vec_id <> c.vec_id)
+        |WHERE rank <= 3""".stripMargin)
 }

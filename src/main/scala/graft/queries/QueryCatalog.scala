@@ -1,0 +1,412 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{GraftFunctions, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Similarity}
+
+/** The operator catalog exposed through SparkEntry: one query per
+  * operator family from SURVEY.md §2 plus the training-data-pipeline
+  * operators, each runnable over the driver's parquet test tables and
+  * (where ANSI-SQL-expressible) paired with a DuckDB oracle in
+  * [[OracleSql]].
+  *
+  * Conventions:
+  *  - every computed column is aliased identically here and in the
+  *    oracle (the driver compares by sorted column name);
+  *  - doubles are rounded (4 decimals; money 2) so cross-engine float
+  *    summation order can't flip a hash;
+  *  - timestamps leave as epoch seconds or formatted strings, never
+  *    raw timestamps.
+  */
+object QueryCatalog {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  // ---------- aggregations (SURVEY §2.6) ----------
+
+  /** A1 crawler-metrics aggregate shape: groupBy + count/sum. */
+  def qMetricsAgg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+
+  /** A6 daily rollup (category_stats analog). */
+  def qDailyRollup(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
+
+  /** Streaming-shaped tumbling-window aggregate (batch semantics here;
+    * the readStream variant is exercised in tests).
+    */
+  def qWindowAgg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+        col("event_type"), col("n_events"))
+
+  // ---------- joins (SURVEY §2.5) ----------
+
+  /** J1 as-of / latest-per-key (session restore). */
+  def qAsofLatest(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    t(spark, dir, "events")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id").as("latest_event_id"),
+        col("event_type").as("latest_type"))
+  }
+
+  /** J2 groupwise max (latest parent entity values). */
+  def qGroupwiseMax(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("value").desc, col("event_id").asc)
+    t(spark, dir, "events")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("event_id").as("max_event_id"),
+        round(col("value"), 4).as("max_value"))
+  }
+
+  /** J3 multi-way equi-join + CASE weighting (sentiment_view shape). */
+  def qMultiwayJoinCase(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    val o = t(spark, dir, "orders")
+    val c = t(spark, dir, "customer")
+    val n = t(spark, dir, "nation")
+    val r = t(spark, dir, "region")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .withColumn("weight",
+        when(col("l_returnflag") === "R", lit(-1.0))
+          .when(col("l_returnflag") === "A", lit(1.0))
+          .otherwise(lit(0.5)))
+      .groupBy(col("r_name"))
+      .agg(round(sum(col("weight") * col("l_extendedprice")), 2).as("weighted_rev"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** J4 semi-join (keyword association). */
+  def qSemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val part = t(spark, dir, "part")
+    val li = t(spark, dir, "lineitem").select(col("l_partkey"))
+    part.join(li, part("p_partkey") === li("l_partkey"), "left_semi")
+      .select(col("p_partkey"), col("p_name"))
+  }
+
+  /** D1 anti-join (URL-seen shape): customers with no high-value order. */
+  def qAntiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+    val o = t(spark, dir, "orders")
+      .filter(col("o_totalprice") > 400000).select(col("o_custkey"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+  }
+
+  /** J6/S8 version chain (SCD-2 versioning of the posts sink). */
+  def qVersionChain(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type").orderBy(col("ts").asc, col("event_id").asc)
+    val wMax = Window.partitionBy("user_id", "event_type")
+    t(spark, dir, "events")
+      .withColumn("version_number", row_number().over(w))
+      .withColumn("is_latest",
+        col("version_number") === max(col("version_number")).over(wMax))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("version_number"), col("is_latest"))
+  }
+
+  // ---------- filters / scheduling (SURVEY §2.3, §2.7) ----------
+
+  /** K1/K5 priority pop: per-group top-k with a total order. */
+  def qTopkPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    t(spark, dir, "orders")
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("price"), col("rnk"))
+  }
+
+  /** Politeness pop shape on a second table: top-2 docs per source. */
+  def qPolitenessPop(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("source")
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    t(spark, dir, "documents")
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 2)
+      .select(col("source"), col("doc_id"), col("n_chars"))
+  }
+
+  /** K2 priority assignment: 96/frequency + 1, integer division. */
+  def qPriorityScore(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .withColumn("frequency", (col("o_orderkey") % 5 + 1).cast("int"))
+      .select(col("o_orderkey"),
+        (floor(lit(96) / col("frequency")) + 1).cast("int").as("priority"))
+
+  /** D3 timestamp watermark: drop everything ≤ the stored max. */
+  def qWatermarkFilter(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .filter(col("ts") > lit("2024-01-20 12:00:00").cast("timestamp"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_after"),
+        max(unix_timestamp(col("ts"))).as("max_epoch"))
+
+  /** F5 MIME whitelist (isin filter). */
+  def qMimeWhitelist(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .filter(col("event_type").isin("click", "view", "purchase"))
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n_events"))
+
+  /** F6 recursion-level gate. */
+  def qDepthGate(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(col("l_linenumber") <= 3)
+      .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n_rows"))
+
+  /** F4 URL/content regex gate. */
+  def qRegexFilter(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .filter(col("text").rlike("spark.*join"))
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+
+  /** F2/F3 exclusion + spam-word drop (anti-predicate). */
+  def qExclusionFilter(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .filter(!col("text").rlike("(^|[^A-Za-z0-9_])(vector|stream)([^A-Za-z0-9_]|$)"))
+      .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+
+  /** F7 essential-field validation + backfill. */
+  def qEssentialFields(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"),
+        substring(col("text"), 1, 40).as("title"),
+        length(col("text")).as("data_len"))
+
+  /** O9 EAV field-prefix typing (unpivot + type tags). */
+  def qEavTyping(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(col("l_orderkey") <= 100)
+      .selectExpr("l_orderkey", "l_linenumber",
+        "stack(3, 'ei_quantity', cast(l_quantity as string), " +
+          "'ef_price', cast(round(l_extendedprice, 2) as string), " +
+          "'et_flag', l_returnflag) as (field_key, field_value)")
+      .withColumn("field_type",
+        when(col("field_key").startsWith("ei_"), lit("integer"))
+          .when(col("field_key").startsWith("ef_"), lit("float"))
+          .otherwise(lit("text")))
+
+  // ---------- crawl scalar ops over synthesized columns (SURVEY §2.2) ----------
+
+  /** O1 URL canonicalization, oracle-checkable: messy synthesized URL →
+    * canonical via the real UDF; the oracle computes the expected
+    * string directly.
+    */
+  def qUrlCanonicalize(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"),
+        GraftFunctions.canonicalizeUdf(
+          concat(lit("HTTP://"), upper(col("source")),
+            lit(".Example.COM.:80/a/./p/"), col("doc_id"),
+            lit("?utm_source=x&id="), col("doc_id"), lit("#frag")))
+          .as("canonical_url"))
+
+  /** O7 boilerplate extraction, oracle-checkable: wrap the doc text in
+    * a known html shell; the extractor's keep/drop rules reduce to a
+    * CASE the oracle can state.
+    */
+  def qExtractText(spark: SparkSession, dir: String): DataFrame = {
+    val html = concat(
+      lit("<html><head><title>t</title><script>junk()</script></head><body><div>"),
+      col("text"), lit("</div><div class=\"nav\"><a href=\"/a\">A</a> <a href=\"/b\">B</a></div></body></html>"))
+    t(spark, dir, "documents")
+      .select(col("doc_id"),
+        GraftFunctions.extractTextUdf(encode(html, "utf-8")).as("extracted"))
+  }
+
+  /** Outlink extraction (UDTF analog), oracle-checkable. */
+  def qExtractLinks(spark: SparkSession, dir: String): DataFrame = {
+    val extractUdf = udf { (docId: Long, source: String) =>
+      val html = s"""<html><body><a href="/p/$docId">x</a>""" +
+        s"""<a href="http://other.com/q?utm_source=t&z=$docId">y</a></body></html>"""
+      graft.core.LinkExtractor
+        .extractLinks(html, s"http://$source.test/base/page.html")
+        .map(_.url)
+    }
+    t(spark, dir, "documents")
+      .select(col("doc_id"), explode(extractUdf(col("doc_id"), col("source"))).as("out_url"))
+  }
+
+  /** O6 content hash: md5 over sorted stringified values. */
+  def qContentHash(spark: SparkSession, dir: String): DataFrame = {
+    val title = concat(lit("doc-"), col("doc_id"))
+    t(spark, dir, "documents")
+      .select(col("doc_id"),
+        md5(when(title < col("text"), concat(title, col("text")))
+          .otherwise(concat(col("text"), title))).as("content_hash"))
+  }
+
+  /** F1 boolean keyword filter over the indexed text. */
+  def qKeywordFilter(spark: SparkSession, dir: String): DataFrame = {
+    val pred = GraftFunctions.keywordMatch("spark and (join or merge)")
+    t(spark, dir, "documents")
+      .filter(pred(col("text")))
+      .select(col("doc_id"), col("lang"))
+  }
+
+  // ---------- text analysis ----------
+
+  def qTokenCount(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+
+  def qTokenStats(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .groupBy(col("lang"))
+      .agg(sum(TextAnalysis.tokenCount(col("text"))).as("total_tokens"),
+        round(avg(TextAnalysis.tokenCount(col("text"))), 4).as("avg_tokens"))
+
+  /** Cross-engine-expressible quality components, integer arithmetic
+    * only (float round-half ties flip between engines at exactly the
+    * 4th decimal — integer division can't).
+    */
+  def qQualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val txt = trim(col("text"))
+    val chars = length(txt).cast("long")
+    val alpha = length(regexp_replace(txt, "[^a-zA-Z]", "")).cast("long")
+    t(spark, dir, "documents")
+      .select(col("doc_id"), least(chars, lit(500L)).as("len_score"),
+        when(chars === 0, lit(0L))
+          .otherwise(expr("length(regexp_replace(trim(text), '[^a-zA-Z]', '')) * 10000L div length(trim(text))"))
+          .as("alpha_bp"))
+  }
+
+  /** Full quality heuristic + language ID (rows-only check — the
+    * heuristics are pinned by unit tests instead).
+    */
+  def qTextProfile(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("quality"),
+        TextAnalysis.langId(col("text")).as("lang_pred"),
+        TextAnalysis.subwordCount(col("text")).as("n_subwords"))
+
+  def qStopwordRatio(spark: SparkSession, dir: String): DataFrame = {
+    val stops = Seq("the", "a", "and", "of", "to", "in")
+    val w = filter(split(lower(col("text")), "[^a-z0-9_']+"), x => length(x) > 0)
+    t(spark, dir, "documents")
+      .select(col("doc_id"),
+        round(when(size(w) === 0, lit(0.0)).otherwise(
+          size(filter(w, x => x.isin(stops.map(lit): _*))).cast("double") /
+            size(w).cast("double")), 4).as("stop_ratio"))
+  }
+
+  def qFingerprint(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"),
+        size(TextAnalysis.fingerprintUdf()(col("text"))).as("n_fingerprints"),
+        xxhash64(concat_ws(",",
+          TextAnalysis.fingerprintUdf()(col("text")))).as("fp_hash"))
+
+  // ---------- dedup family ----------
+
+  def qDedupExact(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exactGroups(t(spark, dir, "documents"), "doc_id", "text")
+      .groupBy().agg(count(lit(1)).as("n_groups"),
+        sum(col("group_size")).as("n_docs"),
+        sum(when(col("group_size") > 1, col("group_size") - 1).otherwise(0))
+          .as("n_redundant"))
+
+  def qDedupExactKeep(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exactDedup(t(spark, dir, "documents"), "doc_id", "text")
+      .select(col("doc_id"))
+
+  def qMinhashPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashPairs(t(spark, dir, "documents"), "doc_id", "text",
+        shingleK = 3, numHashes = 64, bands = 16, threshold = 0.5)
+      .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 4).as("est_jaccard"))
+
+  def qMinhashDedup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashDedup(t(spark, dir, "documents"), "doc_id", "text", threshold = 0.5)
+      .groupBy().agg(count(lit(1)).as("n_kept"))
+
+  def qSimhashPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(t(spark, dir, "documents"), "doc_id", "text", maxDist = 6)
+
+  /** Exact 1-gram Jaccard between consecutive doc ids — oracle-checkable
+    * set algebra.
+    */
+  def qNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    // the inner join on id_b below drops the last doc's dangling pair
+    val pairs = docs.select((col("doc_id")).as("id_a"), (col("doc_id") + 1).as("id_b"))
+    val sets = docs.select(col("doc_id"),
+      array_sort(array_distinct(
+        filter(split(lower(col("text")), "[^a-z0-9]+"), x => length(x) > 0))).as("wset"))
+    pairs
+      .join(sets.select(col("doc_id").as("id_a"), col("wset").as("set_a")), Seq("id_a"))
+      .join(sets.select(col("doc_id").as("id_b"), col("wset").as("set_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(size(array_intersect(col("set_a"), col("set_b"))).cast("double") /
+          size(array_union(col("set_a"), col("set_b"))).cast("double"), 4)
+          .as("jaccard"))
+  }
+
+  // ---------- similarity search ----------
+
+  private def embeddings(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+
+  /** Brute-force cosine top-3 for the first 30 vectors (exact baseline). */
+  def qCosineTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = embeddings(spark, dir)
+    Similarity.cosineTopK(emb.filter(col("id") < 30), emb, k = 3)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cosine"), 4).as("cosine"), col("rank"))
+  }
+
+  /** LSH ANN over the same vectors (rows-only; recall vs brute force is
+    * asserted in unit tests).
+    */
+  def qAnnLsh(spark: SparkSession, dir: String): DataFrame = {
+    val emb = embeddings(spark, dir)
+    val dim = emb.select(size(col("vec"))).first().getInt(0)
+    Similarity.lshTopK(emb.filter(col("id") < 30), emb, k = 3,
+        dim = dim, bits = 10, tables = 6)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cosine"), 4).as("cosine"), col("rank"))
+  }
+
+  /** Embedding-cosine near-dup pairs (rows-only). */
+  def qCosineDupPairs(spark: SparkSession, dir: String): DataFrame = {
+    val emb = embeddings(spark, dir)
+    val dim = emb.select(size(col("vec"))).first().getInt(0)
+    Similarity.cosineDupPairs(emb, threshold = 0.35, dim = dim, bits = 8, tables = 6)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
+  }
+
+  // ---------- multimodal plumbing (stubbed decode, real plumbing) ----------
+
+  def qMediaFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val nDocs = t(spark, dir, "documents").count()
+    val media = Multimodal.syntheticMedia(spark, math.min(nDocs, 500L))
+    Multimodal.features(spark, media, dim = 16)
+      .toDF()
+      .select(col("media_id"), col("kind"), col("frames"),
+        size(col("feature")).as("feature_dim"))
+  }
+}

@@ -1,0 +1,147 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, Multimodal, Similarity}
+
+/** Dedup family + similarity search + multimodal plumbing: planted
+  * duplicates must be found, unrelated content must not be, LSH recall
+  * is bounded against the exact baseline.
+  */
+class DedupSimilaritySpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-dedup-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  import spark.implicits._
+
+  /** Docs share a small common preamble but are mostly unique content
+    * (hash-derived words), so only the PLANTED duplicates are near-dups.
+    */
+  private def base(i: Int) = {
+    val unique = (0 until 18).map { j =>
+      "w" + math.floorMod(graft.core.Hashing.xxhash64(s"$i:$j"), 100000L)
+    }.mkString(" ")
+    s"document number $i about spark pipelines $unique end of section $i"
+  }
+
+  private lazy val docs = {
+    val rows =
+      (0 until 40).map(i => (i.toLong, base(i))) ++ Seq(
+        (100L, base(7)), // exact dup of 7
+        (101L, base(9) + " tiny suffix change"), // near dup of 9
+        (102L, "completely different short text"))
+    rows.toDF("doc_id", "text")
+  }
+
+  test("exact dedup keeps the min id of each duplicate group") {
+    val kept = Dedup.exactDedup(docs, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept.contains(7L) && !kept.contains(100L))
+    assert(kept.contains(101L) && kept.contains(102L))
+    assert(kept.size === docs.count() - 1)
+  }
+
+  test("minhash pairs find exact and near dups, not unrelated docs") {
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
+        shingleK = 3, numHashes = 64, bands = 16, threshold = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((7L, 100L)), s"missing exact dup pair in $pairs")
+    assert(pairs.contains((9L, 101L)), s"missing near dup pair in $pairs")
+    assert(!pairs.exists(p => p._1 == 102L || p._2 == 102L))
+  }
+
+  test("minhash dedup removes the higher-id duplicate") {
+    val kept = Dedup.minhashDedup(docs, "doc_id", "text", threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!kept.contains(100L) && !kept.contains(101L))
+    assert(kept.contains(7L) && kept.contains(9L) && kept.contains(102L))
+  }
+
+  test("simhash pairs find the near dup within hamming distance") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((7L, 100L)))
+    assert(pairs.contains((9L, 101L)))
+  }
+
+  test("ngram jaccard: identical = 1.0, disjoint = 0.0") {
+    val pairs = Seq((7L, 100L), (7L, 102L)).toDF("id_a", "id_b")
+    val got = Dedup.ngramJaccard(pairs, docs, "doc_id", "text", k = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(got((7L, 100L)) === 1.0)
+    assert(got((7L, 102L)) === 0.0)
+  }
+
+  // ---- similarity ----
+
+  private def clusteredVecs(n: Int, dim: Int): Seq[(Long, Array[Float])] =
+    (0 until n).map { i =>
+      val cluster = i % 5
+      val v = Array.tabulate(dim) { j =>
+        val centroid = if (j % 5 == cluster) 1.0f else 0.0f
+        val noise = ((graft.core.Hashing.xxhash64(s"n:$i:$j") >>> 11).toDouble /
+          (1L << 53).toDouble).toFloat * 0.4f
+        centroid + noise
+      }
+      (i.toLong, v)
+    }
+
+  test("cosineTopK: identical vector ranks first") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(1.0f, 0.01f, 0.0f)), // near-identical to 1
+      (3L, Array(0.0f, 1.0f, 0.0f)),
+      (4L, Array(0.0f, 0.0f, 1.0f))).toDF("id", "vec")
+    val top = Similarity.cosineTopK(vecs.filter(col("id") === 1), vecs, k = 2)
+      .orderBy("rank").collect()
+    assert(top(0).getAs[Long]("neighbor_id") === 2L)
+    assert(top(0).getAs[Double]("cosine") > 0.99)
+  }
+
+  test("lshTopK recall >= 0.6 vs brute force on clustered vectors") {
+    val vecs = clusteredVecs(200, 20).toDF("id", "vec")
+    val queries = vecs.filter(col("id") < 20)
+    val exact = Similarity.cosineTopK(queries, vecs, k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.lshTopK(queries, vecs, k = 5, dim = 20,
+        bits = 8, tables = 6)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.6, s"LSH recall $recall too low")
+  }
+
+  test("cosineDupPairs finds planted near-identical vectors") {
+    val base = Array.tabulate(16)(j => (j % 3).toFloat + 0.1f)
+    val twin = base.clone(); twin(0) += 0.01f
+    val vecs = (clusteredVecs(50, 16) ++ Seq((900L, base), (901L, twin)))
+      .toDF("id", "vec")
+    val pairs = Similarity.cosineDupPairs(vecs, threshold = 0.999, dim = 16,
+        bits = 8, tables = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((900L, 901L)))
+  }
+
+  // ---- multimodal plumbing ----
+
+  test("media features: schema, determinism, frame sampling") {
+    val media = Multimodal.syntheticMedia(spark, 30)
+    val f1 = Multimodal.features(spark, media, dim = 8).collect()
+      .map(f => (f.media_id, f.feature.toSeq, f.frames)).sortBy(_._1)
+    val f2 = Multimodal.features(spark, media.repartition(7), dim = 8).collect()
+      .map(f => (f.media_id, f.feature.toSeq, f.frames)).sortBy(_._1)
+    assert(f1.toSeq === f2.toSeq) // deterministic under repartition
+    assert(f1.forall(_._2.size === 8))
+    val byKind = Multimodal.features(spark, media, dim = 8).collect()
+      .groupBy(_.kind).view.mapValues(_.map(_.frames).max).toMap
+    assert(byKind("image") === 1)
+    assert(byKind("video") >= 1)
+  }
+}

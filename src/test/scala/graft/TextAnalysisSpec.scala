@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.TextAnalysis
+
+class TextAnalysisSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[2]")
+    .appName("graft-text-spec")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  import spark.implicits._
+
+  private def one(col: org.apache.spark.sql.Column, text: String): Any =
+    Seq(text).toDF("text").select(col.as("v")).collect().head.get(0)
+
+  test("tokenCount") {
+    assert(one(TextAnalysis.tokenCount($"text"), "a b  c") === 3)
+    assert(one(TextAnalysis.tokenCount($"text"), "   ") === 0)
+    assert(one(TextAnalysis.tokenCount($"text"), "") === 0)
+    assert(one(TextAnalysis.tokenCount($"text"), " x ") === 1)
+  }
+
+  test("subwordCount splits on case/digit/punct boundaries") {
+    assert(one(TextAnalysis.subwordCount($"text"), "spark4ever") === 3) // spark|4|ever
+    val n = one(TextAnalysis.subwordCount($"text"), "don't stop-me now").asInstanceOf[Int]
+    assert(n >= 5) // don|'|t|stop|-|me|now territory
+  }
+
+  test("langId picks the right stopword family") {
+    assert(one(TextAnalysis.langId($"text"),
+      "the cat sat on the mat and it was happy") === "en")
+    assert(one(TextAnalysis.langId($"text"),
+      "der Hund und die Katze sind nicht im Haus aber auch") === "de")
+    assert(one(TextAnalysis.langId($"text"),
+      "el perro y la gata son de la casa pero no este") === "es")
+    assert(one(TextAnalysis.langId($"text"),
+      "zzz qqq xxx www") === "und")
+  }
+
+  test("qualityScore orders clean prose above garbage") {
+    val good = one(TextAnalysis.qualityScore($"text"),
+      "This is a clean paragraph of English prose with enough words and " +
+      "sentences to look like something a person actually wrote for other " +
+      "people to read and it continues long enough to saturate the length " +
+      "component of the score while keeping a high alphabetic ratio overall " +
+      "and it adds a few more words to comfortably pass the length threshold " +
+      "for the saturation component of the heuristic").asInstanceOf[java.lang.Double]
+    val garbage = one(TextAnalysis.qualityScore($"text"),
+      "!!!???... 1234 5678 ???!!! @@@@ #### $$$$ %%%%").asInstanceOf[java.lang.Double]
+    assert(good > 0.7, s"good=$good")
+    assert(garbage < 0.4, s"garbage=$garbage")
+    assert(good > garbage)
+  }
+
+  test("fingerprints overlap for small edits, disjoint for unrelated text") {
+    val a = "the quick brown fox jumps over the lazy dog near the river bank " +
+      "while the sun sets slowly behind the distant snowy mountains tonight"
+    val b = a.replace("lazy", "sleepy") // one-token edit
+    val c = "entirely unrelated content about catalyst optimizer rules and " +
+      "whole stage code generation inside the spark sql execution engine"
+    val fp = TextAnalysis.fingerprintUdf(k = 5, w = 4)
+    val df = Seq(("a", a), ("b", b), ("c", c)).toDF("id", "text")
+      .select($"id", fp($"text").as("fp"))
+    val m = df.collect().map(r => r.getString(0) -> r.getSeq[Long](1).toSet).toMap
+    val abOverlap = (m("a") intersect m("b")).size.toDouble / m("a").size
+    assert(abOverlap > 0.5, s"overlap=$abOverlap")
+    assert((m("a") intersect m("c")).isEmpty)
+  }
+
+  test("fingerprint is deterministic") {
+    val fp = TextAnalysis.fingerprintUdf()
+    val df = Seq("same text for both runs of this determinism check with words")
+      .toDF("text").select(fp($"text").as("fp"))
+    assert(df.collect().head.getSeq[Long](0) === df.collect().head.getSeq[Long](0))
+  }
+}
