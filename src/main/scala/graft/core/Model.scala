@@ -108,6 +108,11 @@ object Model {
       defaultCrawlDelayMs: Long = 0L,
       maxWaves: Int = 16,
       bloomFpp: Double = 0.01,
+      /** below this many frontier keys no sketch is built (the exact
+        * anti-join alone is cheaper than two sketch jobs per wave) */
+      bloomMinFrontier: Long = 200000L,
+      /** minimum capacity when the sketch is first built */
+      bloomCapacity: Long = 10000000L,
       // a host whose pending mass exceeds this is salted over
       // ceil(mass/saltTarget) partitions (SURVEY.md §4 skew note)
       saltTarget: Long = 100000L,

@@ -61,10 +61,23 @@ final class WaveRunner(
     */
   private[graft] var failAfterPagesCommit: Boolean = false
 
+  private val timing = sys.env.contains("GRAFT_TIMING")
+  private def timed[T](label: String)(f: => T): T = {
+    if (!timing) f
+    else {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[graft-timing] $label: ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      r
+    }
+  }
+
   // fetch source keyed by canonical-url hash; never joins on raw strings
   private val pagesByHash: DataFrame = pagesInput
     .select(xxhash64(col("url")).as("page_urlHash"),
       col("url").as("page_url"), col("html"))
+
+  private val bloom = new FrontierBloom(stateRoot, config, () => frontierT.read())
 
   private def budgetFor = {
     val policies = hostPolicies // stable closure capture
@@ -94,6 +107,7 @@ final class WaveRunner(
     }.distinct
     frontierT.commit(entries.toDS().toDF(), wave = 0)
     seenT.commit(spark.emptyDataset[SeenEntry].toDF(), wave = 0)
+    bloom.advance(0, frontierT.read().get)
   }
 
   /** Run waves until the frontier drains or maxWaves is hit; returns
@@ -114,49 +128,63 @@ final class WaveRunner(
     */
   def runWave(w: Int): Boolean = {
     require(frontierT.exists(), "initSeeds must run before waves")
-    if (frontierT.committedWave() >= w) return true // already fully committed
+    if (frontierT.committedWave() >= w) {
+      // crash landed between the frontier flip and the bloom advance:
+      // catch the sketch chain up from the staged delta (advisory only
+      // — a still-missing sketch just means exact-anti-join waves)
+      val staged = Paths.get(stateRoot, "staging", s"wave_$w", "new_frontier")
+      if (Files.exists(staged))
+        bloom.advance(w, spark.read.parquet(staged.toString))
+      return true
+    }
 
     val t0 = System.nanoTime()
     val staging = Paths.get(stateRoot, "staging", s"wave_$w")
     val stagedMarker = staging.resolve("_STAGED")
 
     if (!Files.exists(stagedMarker)) {
-      val didStage = stageWave(w, staging.toString)
+      val didStage = timed(s"w$w stage")(stageWave(w, staging.toString))
       if (!didStage) return false // frontier drained
       Files.write(stagedMarker, Array.emptyByteArray)
     }
 
     // ---- commit phase: idempotent per table, fixed order ----
+    // staged `popped` carries (urlHash, url, score, state): one file
+    // feeds both the order log and the frontier state update
     val stagedPages = spark.read.parquet(s"$staging/pages")
-    val stagedOrder = spark.read.parquet(s"$staging/order")
     val stagedNew = spark.read.parquet(s"$staging/new_frontier")
-    val stagedPopped = spark.read.parquet(s"$staging/popped") // urlHash + state
+    val stagedPopped = spark.read.parquet(s"$staging/popped")
 
     if (pagesT.committedWave() < w)
-      pagesT.appendCommit(stagedPages, w)
+      timed(s"w$w commit-pages")(pagesT.appendCommit(stagedPages, w))
     if (failAfterPagesCommit)
       throw new IllegalStateException("simulated kill between table flips")
     if (orderT.committedWave() < w)
-      orderT.appendCommit(stagedOrder, w)
-    if (seenT.committedWave() < w) {
-      val seenNew = stagedPages.select(col("urlHash"), col("contentHash"), lit(w).as("wave"))
-      val merged = seenT.read().map(_.unionByName(seenNew)).getOrElse(seenNew)
-      seenT.commit(merged, w)
-    }
-    if (frontierT.committedWave() < w) {
+      orderT.appendCommit(
+        stagedPopped.select(lit(w).as("wave"), col("score"), col("urlHash"), col("url")), w)
+    if (seenT.committedWave() < w)
+      // seen is append-only: O(delta) commit, never a table rewrite
+      seenT.appendCommit(
+        stagedPages.select(col("urlHash"), col("contentHash"), lit(w).as("wave")), w)
+    if (frontierT.committedWave() < w) timed(s"w$w commit-frontier") {
       val frontier = frontierT.read().get
       val updated = frontier
-        .join(stagedPopped.withColumnRenamed("state", "new_state"), Seq("urlHash"), "left")
+        .join(stagedPopped.select(col("urlHash"), col("state").as("new_state")),
+          Seq("urlHash"), "left")
         .withColumn("state", coalesce(col("new_state"), col("state")))
         .drop("new_state")
         .unionByName(stagedNew)
       frontierT.commit(updated, w)
     }
-    if (metricsT.committedWave() < w) {
+    timed(s"w$w bloom-advance")(bloom.advance(w, stagedNew)) // incremental frontier-keys sketch
+    if (metricsT.committedWave() < w) timed(s"w$w metrics") {
+      // scheduled/newUrls are metadata-only parquet counts; fetched and
+      // bytes come out of ONE aggregate job
       val scheduled = stagedPopped.count()
-      val fetched = stagedPages.count()
-      val bytes = stagedPages.agg(coalesce(sum("htmlBytes"), lit(0L))).as[Long].head()
       val newUrls = stagedNew.count()
+      val fb = stagedPages
+        .agg(count(lit(1)), coalesce(sum("htmlBytes"), lit(0L))).head()
+      val (fetched, bytes) = (fb.getLong(0), fb.getLong(1))
       val pendingLeft = frontierT.read().get
         .filter(col("state") === FrontierState.Pending).count()
       val m = WaveMetrics(w, scheduled, fetched, scheduled - fetched, bytes,
@@ -194,7 +222,7 @@ final class WaveRunner(
     val popped = Politeness.popPerHost(withBudget)
       .select("urlHash", "url", "host", "depth", "priority", "score")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    if (popped.isEmpty) { popped.unpersist(); return false }
+    if (timed(s"w$w pop")(popped.isEmpty)) { popped.unpersist(); return false }
 
     // ---- fetch + extract (one pass over html) ----
     val counter = extractCounter
@@ -238,9 +266,7 @@ final class WaveRunner(
         min(col("depth")).as("pdepth"), min(col("priority")).as("priority"))
 
     val frontierKeys = frontier.select("urlHash")
-    val bloom = SeenSet.buildBloom(frontierKeys, "urlHash",
-      math.max(frontierKeys.count(), 1L), config.bloomFpp)
-    val newEntries = SeenSet.notSeen(candidates, Some(frontierKeys), Some(bloom))
+    val newEntries = SeenSet.notSeen(candidates, Some(frontierKeys), bloom.get(w - 1))
       .select(
         col("urlHash"), col("url"),
         udf((u: String) => UrlNormalizer.hostOf(u)).apply(col("url")).as("host"),
@@ -251,17 +277,18 @@ final class WaveRunner(
         lit(FrontierState.Pending).as("state"))
 
     // ---- stage artifacts (idempotent overwrite) ----
-    pagesOut.write.mode(SaveMode.Overwrite).parquet(s"$staging/pages")
-    val fetchedKeys = fetchedRaw.select(col("urlHash"), lit(FrontierState.Fetched).as("state"))
+    timed(s"w$w fetch+extract+stage-pages")(
+      pagesOut.write.mode(SaveMode.Overwrite).parquet(s"$staging/pages"))
+    val fetchedKeys = fetchedRaw.select(col("urlHash"),
+      lit(FrontierState.Fetched).as("state"))
     val failedKeys = popped.select("urlHash")
       .join(fetchedRaw.select("urlHash"), Seq("urlHash"), "left_anti")
       .withColumn("state", lit(FrontierState.Failed))
-    fetchedKeys.unionByName(failedKeys)
-      .write.mode(SaveMode.Overwrite).parquet(s"$staging/popped")
-    popped.select(lit(w).as("wave"), col("score"), col("urlHash"), col("url"))
-      .orderBy(col("score").asc, col("urlHash").asc)
-      .write.mode(SaveMode.Overwrite).parquet(s"$staging/order")
-    newEntries.write.mode(SaveMode.Overwrite).parquet(s"$staging/new_frontier")
+    timed(s"w$w stage-popped")(popped.select(col("urlHash"), col("url"), col("score"))
+      .join(fetchedKeys.unionByName(failedKeys), Seq("urlHash"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$staging/popped"))
+    timed(s"w$w expand+stage-new")(
+      newEntries.write.mode(SaveMode.Overwrite).parquet(s"$staging/new_frontier"))
 
     fetchedRaw.unpersist()
     popped.unpersist()

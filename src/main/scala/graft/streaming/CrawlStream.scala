@@ -1,5 +1,7 @@
 package graft.streaming
 
+import java.util.concurrent.atomic.AtomicBoolean
+
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
@@ -15,12 +17,11 @@ import graft.crawl.WaveRunner
   */
 object CrawlStream {
 
-  /** Start a streaming query that advances one wave per trigger until
-    * the frontier drains (then it keeps ticking as a no-op; callers
-    * stop it — or use `runBatches` for a bounded drive).
+  /** Start a streaming query that advances one wave per trigger.
+    * `drained` flips once a wave finds nothing to schedule.
     */
-  def start(spark: SparkSession, runner: WaveRunner,
-            triggerMs: Long = 1000L): StreamingQuery = {
+  def start(spark: SparkSession, runner: WaveRunner, drained: AtomicBoolean,
+            maxWaves: Int, triggerMs: Long = 1000L): StreamingQuery = {
     spark.readStream
       .format("rate")
       .option("rowsPerSecond", 1)
@@ -29,26 +30,24 @@ object CrawlStream {
       .trigger(Trigger.ProcessingTime(triggerMs))
       .foreachBatch { (_: org.apache.spark.sql.DataFrame, _: Long) =>
         val next = runner.frontierT.committedWave() + 1
-        runner.runWave(next)
+        if (next > maxWaves || !runner.runWave(next)) drained.set(true)
         ()
       }
       .start()
   }
 
-  /** Drive up to `maxWaves` waves synchronously through the streaming
-    * facade (one processAllAvailable per wave tick).
+  /** Drive waves synchronously through the streaming facade until the
+    * crawl drains or `maxWaves` complete. Returns the last wave.
     */
-  def runBatches(spark: SparkSession, runner: WaveRunner, maxWaves: Int): Int = {
-    val q = start(spark, runner, triggerMs = 50L)
+  def runBatches(spark: SparkSession, runner: WaveRunner, maxWaves: Int,
+                 timeoutMs: Long = 600000L): Int = {
+    val drained = new AtomicBoolean(false)
+    val q = start(spark, runner, drained, maxWaves, triggerMs = 100L)
     try {
-      var waves = 0
-      var last = runner.frontierT.committedWave()
-      while (waves < maxWaves * 20 && runner.frontierT.committedWave() < maxWaves) {
-        Thread.sleep(100)
-        val now = runner.frontierT.committedWave()
-        if (now == last && waves > 5) return now // drained
-        last = now
-        waves += 1
+      val deadline = System.nanoTime() + timeoutMs * 1000000L
+      while (!drained.get() && runner.frontierT.committedWave() < maxWaves &&
+             System.nanoTime() < deadline) {
+        Thread.sleep(200)
       }
       runner.frontierT.committedWave()
     } finally q.stop()

@@ -1,0 +1,73 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+
+import graft.core.Model.CrawlConfig
+import graft.crawl.{SyntheticCorpus, WaveRunner}
+
+/** Scaling experiment: work-dominated crawl (many seeds, 2 waves) on a
+  * fixed corpus at two core counts. Usage: ScaleProbe [nUrls] [cores...]
+  */
+object ScaleProbe {
+  def newSession(cores: Int): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(s"graft-probe-$cores")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      // extraction is CPU-bound per byte: shrink splits so the html
+      // scan fans out to all cores (default 128m packs the whole
+      // corpus into a handful of tasks)
+      .config("spark.sql.files.maxPartitionBytes", "8m")
+      .config("spark.sql.files.openCostInBytes", "1m")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  def run(spark: SparkSession, corpusPath: String, spec: SyntheticCorpus.Spec,
+          seedsN: Int, label: String): (Long, Double) = {
+    val stateRoot = Files.createTempDirectory(s"graft-probe-$label-").toString
+    val runner = new WaveRunner(spark, spark.read.parquet(corpusPath), stateRoot,
+      CrawlConfig(maxDepth = 3, defaultMaxPerWave = 1000000, maxWaves = 2,
+        saltTarget = 20000L))
+    val step = math.max(1, (spec.numUrls / seedsN).toInt)
+    runner.initSeeds((0L until spec.numUrls by step).map(i =>
+      SyntheticCorpus.urlFor(i, spec) -> 1))
+    val t0 = System.nanoTime()
+    runner.run()
+    val sec = (System.nanoTime() - t0) / 1e9
+    val urls = runner.crawlOrder().count() + runner.pages().count()
+    println(f"[probe] $label: $urls urls in $sec%.1fs = ${urls / sec}%.0f urls/s")
+    (urls, sec)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val n = if (args.nonEmpty) args(0).toLong else 200000L
+    val coreList = if (args.length > 1) args.drop(1).map(_.toInt).toSeq else Seq(8, 32)
+    val spec = SyntheticCorpus.Spec(numUrls = n, numHosts = math.max(50, (n / 100).toInt))
+    val corpusPath = s"target/probe-corpus-$n"
+
+    val prep = newSession(32)
+    if (!Files.exists(Paths.get(corpusPath, "_SUCCESS")))
+      SyntheticCorpus.generate(prep, spec, partitions = 64)
+        .write.mode("overwrite").parquet(corpusPath)
+    // JIT warmup through the full code path
+    run(prep, corpusPath, spec, seedsN = 200, label = "warmup")
+    prep.stop()
+
+    val results = coreList.map { c =>
+      val s = newSession(c)
+      val (urls, sec) = run(s, corpusPath, spec, seedsN = (n / 4).toInt, label = s"c$c")
+      s.stop()
+      c -> (urls, sec)
+    }
+    for (Seq((c1, (_, t1)), (c2, (_, t2))) <- results.sliding(2)) {
+      val eff = (t1 / t2) / (c2.toDouble / c1)
+      println(f"[probe] scaling c$c1->c$c2: speedup ${t1 / t2}%.2f efficiency $eff%.3f")
+    }
+  }
+}

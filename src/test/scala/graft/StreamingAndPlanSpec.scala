@@ -1,0 +1,115 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.Model.CrawlConfig
+import graft.crawl.{SyntheticCorpus, WaveRunner}
+import graft.streaming.CrawlStream
+
+/** Streaming facade parity + physical-plan quality audits (the plans
+  * we'd want at 100 TB: pushed filters, broadcast joins for dims,
+  * no unexpected cartesian products).
+  */
+class StreamingAndPlanSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-streaming-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val spec = SyntheticCorpus.Spec(numUrls = 200, numHosts = 8)
+  private def seeds = Seq(SyntheticCorpus.urlFor(0, spec) -> 1,
+    SyntheticCorpus.urlFor(9, spec) -> 2)
+  private val config = CrawlConfig(maxDepth = 1, defaultMaxPerWave = 10, maxWaves = 3)
+
+  test("streaming facade produces the same crawl order as the batch loop") {
+    val corpus = SyntheticCorpus.generate(spark, spec).toDF()
+
+    val batchRoot = Files.createTempDirectory("graft-batch-").toString
+    val batch = new WaveRunner(spark, corpus, batchRoot, config)
+    batch.initSeeds(seeds)
+    batch.run()
+    val batchOrder = batch.crawlOrder().collect().map(_.toSeq).toSeq
+
+    val streamRoot = Files.createTempDirectory("graft-stream-").toString
+    val streaming = new WaveRunner(spark, corpus, streamRoot, config)
+    streaming.initSeeds(seeds)
+    CrawlStream.runBatches(spark, streaming, maxWaves = config.maxWaves)
+    val streamOrder = streaming.crawlOrder().collect().map(_.toSeq).toSeq
+
+    assert(streamOrder === batchOrder)
+  }
+
+  // ---- plan audits ----
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("filters are pushed into the parquet scan") {
+    val p = plan("q_depth_gate")
+    assert(p.contains("PushedFilters: [IsNotNull(l_linenumber), LessThanOrEqual(l_linenumber,3)]"),
+      s"missing pushdown in:\n$p")
+  }
+
+  test("column pruning reaches the scan (no full-width reads)") {
+    val p = plan("q_token_count")
+    // only doc_id and text should be read, not lang/source/n_chars
+    assert(p.contains("ReadSchema"))
+    assert(!p.contains("n_chars"), s"unpruned scan:\n$p")
+  }
+
+  test("small dims join via broadcast in the multiway join") {
+    val p = plan("q_multiway_join_case")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join in:\n$p")
+  }
+
+  test("anti and semi joins use hash-join strategies, not BNLJ") {
+    assert(!plan("q_anti_join").contains("BroadcastNestedLoopJoin"))
+    assert(!plan("q_semi_join").contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("whole-stage codegen covers the relational queries") {
+    // under AQE the final plan only exists after execution
+    def finalPlan(name: String): String = {
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      df.collect()
+      df.queryExecution.executedPlan.toString
+    }
+    // AQE's final-plan string marks codegen stages as "*(n)"
+    assert(finalPlan("q_metrics_agg").contains("*("))
+    assert(finalPlan("q_priority_score").contains("*("))
+  }
+
+  test("streaming window aggregation works via readStream") {
+    import org.apache.spark.sql.streaming.Trigger
+    // FileStreamSource wants a directory; the test table is one file
+    val streamDir = Files.createTempDirectory("graft-evstream-")
+    Files.copy(java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val stream = spark.readStream.schema(schema).parquet(streamDir.toString)
+      // parquet infers TIMESTAMP_NTZ; event-time needs TIMESTAMP
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val q = stream.writeStream.outputMode("complete")
+      .format("memory").queryName("ev_counts")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val streamed = spark.sql("select sum(n) from ev_counts").collect().head.getLong(0)
+    val batch = spark.read.parquet(s"$sfDir/events.parquet").count()
+    assert(streamed === batch)
+  }
+}
