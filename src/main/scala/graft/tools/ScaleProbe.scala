@@ -55,8 +55,9 @@ object ScaleProbe {
     if (!Files.exists(Paths.get(corpusPath, "_SUCCESS")))
       SyntheticCorpus.generate(prep, spec, partitions = 64)
         .write.mode("overwrite").parquet(corpusPath)
-    // JIT warmup through the full code path
-    run(prep, corpusPath, spec, seedsN = 200, label = "warmup")
+    // JIT warmup through the full code path (enough pages that C2
+    // compiles the extract/link/normalize hot loops)
+    run(prep, corpusPath, spec, seedsN = 1500, label = "warmup")
     prep.stop()
 
     val results = coreList.map { c =>
