@@ -149,27 +149,31 @@ final class WaveRunner(
     }
 
     // ---- commit phase: idempotent per table, fixed order ----
-    // staged `popped` carries (urlHash, url, score, state): one file
-    // feeds both the order log and the frontier state update
-    val stagedPages = spark.read.parquet(s"$staging/pages")
+    // ONE staged artifact `processed` (all popped rows: urlHash, url,
+    // score, state, title, text, contentHash, htmlBytes, nOutlinks)
+    // feeds pages, order log, frontier update and metrics.
+    val sp = spark.read.parquet(s"$staging/processed")
     val stagedNew = spark.read.parquet(s"$staging/new_frontier")
-    val stagedPopped = spark.read.parquet(s"$staging/popped")
 
     if (pagesT.committedWave() < w)
-      timed(s"w$w commit-pages")(pagesT.appendCommit(stagedPages, w))
+      timed(s"w$w commit-pages")(pagesT.appendCommit(
+        sp.filter(col("state") === FrontierState.Fetched)
+          .select(col("urlHash"), col("url"), lit(w).as("wave"), col("title"),
+            col("text"), col("contentHash"), col("htmlBytes"), col("nOutlinks")), w))
     if (failAfterPagesCommit)
       throw new IllegalStateException("simulated kill between table flips")
     if (orderT.committedWave() < w)
       orderT.appendCommit(
-        stagedPopped.select(lit(w).as("wave"), col("score"), col("urlHash"), col("url")), w)
+        sp.select(lit(w).as("wave"), col("score"), col("urlHash"), col("url")), w)
     if (seenT.committedWave() < w)
       // seen is append-only: O(delta) commit, never a table rewrite
       seenT.appendCommit(
-        stagedPages.select(col("urlHash"), col("contentHash"), lit(w).as("wave")), w)
+        sp.filter(col("state") === FrontierState.Fetched)
+          .select(col("urlHash"), col("contentHash"), lit(w).as("wave")), w)
     if (frontierT.committedWave() < w) timed(s"w$w commit-frontier") {
       val frontier = frontierT.read().get
       val updated = frontier
-        .join(stagedPopped.select(col("urlHash"), col("state").as("new_state")),
+        .join(sp.select(col("urlHash"), col("state").as("new_state")),
           Seq("urlHash"), "left")
         .withColumn("state", coalesce(col("new_state"), col("state")))
         .drop("new_state")
@@ -178,20 +182,44 @@ final class WaveRunner(
     }
     timed(s"w$w bloom-advance")(bloom.advance(w, stagedNew)) // incremental frontier-keys sketch
     if (metricsT.committedWave() < w) timed(s"w$w metrics") {
-      // scheduled/newUrls are metadata-only parquet counts; fetched and
-      // bytes come out of ONE aggregate job
-      val scheduled = stagedPopped.count()
+      // ONE aggregate over the staged artifact + a metadata-only count;
+      // pending is tracked arithmetically (scheduled rows leave Pending,
+      // newUrls enter — nothing else changes state)
+      val agg = sp.agg(count(lit(1)),
+        count(when(col("state") === FrontierState.Fetched, 1)),
+        coalesce(sum("htmlBytes"), lit(0L))).head()
+      val (scheduled, fetched, bytes) = (agg.getLong(0), agg.getLong(1), agg.getLong(2))
       val newUrls = stagedNew.count()
-      val fb = stagedPages
-        .agg(count(lit(1)), coalesce(sum("htmlBytes"), lit(0L))).head()
-      val (fetched, bytes) = (fb.getLong(0), fb.getLong(1))
-      val pendingLeft = frontierT.read().get
-        .filter(col("state") === FrontierState.Pending).count()
+      val pendingLeft = pendingLeftAfter(w, scheduled, newUrls)
+      pendingCache = Some(w -> pendingLeft)
       val m = WaveMetrics(w, scheduled, fetched, scheduled - fetched, bytes,
         newUrls, pendingLeft, (System.nanoTime() - t0) / 1000000L)
       metricsT.appendCommit(Seq(m).toDS().toDF(), w)
     }
     true
+  }
+
+  /** Pending count after wave w: previous pending − scheduled + new,
+    * from the in-memory cache or the wave-(w-1) metrics row; a fresh
+    * runner with no metrics history scans the (already wave-w) frontier
+    * directly.
+    */
+  private var pendingCache: Option[(Int, Long)] = None
+  private def pendingLeftAfter(w: Int, scheduled: Long, newUrls: Long): Long = {
+    val before: Option[Long] = pendingCache match {
+      case Some((wave, n)) if wave == w - 1 => Some(n)
+      case _ if w >= 2 =>
+        metricsT.read().flatMap { m =>
+          m.filter(col("wave") === w - 1).select("frontierPending")
+            .collect().headOption.map(_.getLong(0))
+        }
+      case _ => None // wave 1: before = the seed count
+    }
+    before match {
+      case Some(n) => n - scheduled + newUrls
+      case None =>
+        frontierT.read().get.filter(col("state") === FrontierState.Pending).count()
+    }
   }
 
   /** Compute a wave's artifacts into the staging dir. Returns false if
@@ -224,38 +252,48 @@ final class WaveRunner(
       .persist(StorageLevel.MEMORY_AND_DISK)
     if (timed(s"w$w pop")(popped.isEmpty)) { popped.unpersist(); return false }
 
-    // ---- fetch + extract (one pass over html) ----
+    // ---- fetch + extract: ONE pass over html, ONE staged artifact ----
+    // popped left-joins the pages table; a missing page is the 404
+    // analog (state=failed). Extraction, title, content hash and
+    // outlinks all come out of the same partition iterator, so html
+    // bytes are touched exactly once per wave.
     val counter = extractCounter
     val joined = popped.join(pagesByHash,
       popped("urlHash") === pagesByHash("page_urlHash"), "left")
 
-    val fetchedRaw = joined.filter(col("page_urlHash").isNotNull)
-      .select("urlHash", "url", "depth", "priority", "html")
-      .as[(Long, String, Int, Int, Array[Byte])]
+    val processed = joined
+      .select(popped("urlHash"), col("url"), col("score"),
+        col("depth"), col("priority"), col("html"))
+      .as[(Long, String, Long, Int, Int, Array[Byte])]
       .mapPartitions { rows =>
-        rows.map { case (urlHash, url, depth, priority, html) =>
-          counter.add(1)
-          val s = new String(html, UTF_8)
-          val title = BoilerplateExtractor.extractTitle(s).getOrElse("No Title")
-          val text = BoilerplateExtractor.extractText(s)
-          val links = LinkExtractor.extractLinks(s, url)
-            .map(_.url).filter(_ != url).distinct // self-link drop (F8)
-          (urlHash, url, title, text,
-            Hashing.contentHash(Seq(text, title)), // reference hash rule (O6)
-            html.length.toLong, links.toArray, depth, priority)
+        rows.map { case (urlHash, url, scoreV, depth, priority, html) =>
+          if (html == null)
+            (urlHash, url, scoreV, FrontierState.Failed, "", "", "",
+              0L, Array.empty[String], depth, priority)
+          else {
+            counter.add(1)
+            val s = new String(html, UTF_8)
+            val title = BoilerplateExtractor.extractTitle(s).getOrElse("No Title")
+            val text = BoilerplateExtractor.extractText(s)
+            val links = LinkExtractor.extractLinks(s, url)
+              .map(_.url).filter(_ != url).distinct // self-link drop (F8)
+            (urlHash, url, scoreV, FrontierState.Fetched, title, text,
+              Hashing.contentHash(Seq(text, title)), // reference hash rule (O6)
+              html.length.toLong, links.toArray, depth, priority)
+          }
         }
       }
-      .toDF("urlHash", "url", "title", "text", "contentHash",
-        "htmlBytes", "links", "depth", "priority")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .toDF("urlHash", "url", "score", "state", "title", "text",
+        "contentHash", "htmlBytes", "links", "depth", "priority")
 
-    val pagesOut = fetchedRaw.select(
-      col("urlHash"), col("url"), lit(w).as("wave"), col("title"),
-      col("text"), col("contentHash"), col("htmlBytes"),
-      size(col("links")).as("nOutlinks"))
+    timed(s"w$w fetch+extract+stage")(
+      processed.withColumn("nOutlinks", size(col("links")))
+        .write.mode(SaveMode.Overwrite).parquet(s"$staging/processed"))
 
-    // ---- frontier expansion (E2): explode links, dedup, anti-join ----
-    val candidates = fetchedRaw
+    // ---- frontier expansion (E2) from the staged artifact (resume
+    // never re-extracts): explode links, dedup, anti-join ----
+    val sp = spark.read.parquet(s"$staging/processed")
+    val candidates = sp
       .select(col("depth"), col("priority"), explode(col("links")).as("url"))
       .withColumn("urlHash", xxhash64(col("url")))
       // in-batch dedup (D4): deterministic representative per url —
@@ -276,21 +314,9 @@ final class WaveRunner(
         lit(w).as("discoveredWave"),
         lit(FrontierState.Pending).as("state"))
 
-    // ---- stage artifacts (idempotent overwrite) ----
-    timed(s"w$w fetch+extract+stage-pages")(
-      pagesOut.write.mode(SaveMode.Overwrite).parquet(s"$staging/pages"))
-    val fetchedKeys = fetchedRaw.select(col("urlHash"),
-      lit(FrontierState.Fetched).as("state"))
-    val failedKeys = popped.select("urlHash")
-      .join(fetchedRaw.select("urlHash"), Seq("urlHash"), "left_anti")
-      .withColumn("state", lit(FrontierState.Failed))
-    timed(s"w$w stage-popped")(popped.select(col("urlHash"), col("url"), col("score"))
-      .join(fetchedKeys.unionByName(failedKeys), Seq("urlHash"))
-      .write.mode(SaveMode.Overwrite).parquet(s"$staging/popped"))
     timed(s"w$w expand+stage-new")(
       newEntries.write.mode(SaveMode.Overwrite).parquet(s"$staging/new_frontier"))
 
-    fetchedRaw.unpersist()
     popped.unpersist()
     true
   }
