@@ -113,7 +113,7 @@ object HtmlDom {
   private final case class TClose(name: String) extends Token
 
   /** Tokenize; forgiving — anything unparseable is treated as text. */
-  def tokenize(html: String): List[Token] = {
+  def tokenize(html: String, xmlMode: Boolean = false): List[Token] = {
     val out = ListBuffer.empty[Token]
     val n = html.length
     var i = 0
@@ -160,7 +160,8 @@ object HtmlDom {
                 case Some((tok, next)) =>
                   out += tok
                   tok match {
-                    case TOpen(nm, _, false) if RawText.contains(nm) => rawUntil = nm
+                    case TOpen(nm, _, false) if !xmlMode && RawText.contains(nm) =>
+                      rawUntil = nm
                     case _ =>
                   }
                   i = next
@@ -223,11 +224,15 @@ object HtmlDom {
     Some((TOpen(name, attrs.toMap, selfClose), i))
   }
 
-  /** Build a DOM. The returned root is a synthetic `[document]` element. */
-  def parse(html: String): Elem = {
+  /** Build a DOM. The returned root is a synthetic `[document]` element.
+    * `xmlMode=true` disables the HTML-isms (void elements, raw-text
+    * elements, implicit closes) for RSS/Atom and other XML documents,
+    * where `<link>foo</link>` is a regular container.
+    */
+  def parse(html: String, xmlMode: Boolean = false): Elem = {
     val root = new Elem("[document]", Map.empty)
     var cur = root
-    tokenize(html).foreach {
+    tokenize(html, xmlMode).foreach {
       case TText(s) => cur.append(new Text(s))
       case TComment(s) => cur.append(new Comment(s))
       case TClose(name) =>
@@ -236,19 +241,20 @@ object HtmlDom {
         while (e != root && e.name != name) e = e.parent
         if (e != root) cur = if (e.parent != null) e.parent else root
       case TOpen(name, attrs, selfClose) =>
-        if (name == "p" || ClosesP.contains(name)) {
+        if (!xmlMode && (name == "p" || ClosesP.contains(name))) {
           var e = cur
           while (e != root && e.name != "p") e = e.parent
           if (e != root && e.name == "p") cur = if (e.parent != null) e.parent else root
         }
-        if (name == "li" || name == "option" || name == "tr" || name == "td" || name == "th") {
+        if (!xmlMode &&
+            (name == "li" || name == "option" || name == "tr" || name == "td" || name == "th")) {
           var e = cur
           while (e != root && e.name != name) e = e.parent
           if (e != root && e.name == name) cur = if (e.parent != null) e.parent else root
         }
         val elem = new Elem(name, attrs)
         cur.append(elem)
-        if (!selfClose && !VoidElements.contains(name)) cur = elem
+        if (!selfClose && (xmlMode || !VoidElements.contains(name))) cur = elem
     }
     root
   }

@@ -58,7 +58,7 @@ object CanonicalizeUrl {
   /** Imperative registration for sessions built without extensions. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "canonicalize_url", exprs => CanonicalizeUrl(exprs.head), "builtin")
+      "canonicalize_url", exprs => CanonicalizeUrl(exprs.head), "built-in")
 }
 
 /** Session extensions: registers `canonicalize_url` for SQL use.

@@ -30,7 +30,13 @@ object ScaleProbe {
 
   def run(spark: SparkSession, corpusPath: String, spec: SyntheticCorpus.Spec,
           seedsN: Int, label: String): (Long, Double) = {
-    val stateRoot = Files.createTempDirectory(s"graft-probe-$label-").toString
+    // crawl state on tmpfs: the sandbox's single throttled virtio disk
+    // would serialize state IO that a real cluster spreads across
+    // executors' disks/DFS — measure compute scaling, not one disk
+    val stateRoot = Files.createTempDirectory(
+      if (Files.isDirectory(java.nio.file.Paths.get("/dev/shm")))
+        java.nio.file.Paths.get("/dev/shm") else java.nio.file.Paths.get("/tmp"),
+      s"graft-probe-$label-").toString
     val runner = new WaveRunner(spark, spark.read.parquet(corpusPath), stateRoot,
       CrawlConfig(maxDepth = 3, defaultMaxPerWave = 1000000, maxWaves = 2,
         saltTarget = 20000L))
@@ -49,7 +55,9 @@ object ScaleProbe {
     val n = if (args.nonEmpty) args(0).toLong else 200000L
     val coreList = if (args.length > 1) args.drop(1).map(_.toInt).toSeq else Seq(8, 32)
     val spec = SyntheticCorpus.Spec(numUrls = n, numHosts = math.max(50, (n / 100).toInt))
-    val corpusPath = s"target/probe-corpus-$n"
+    val corpusPath =
+      (if (Files.isDirectory(java.nio.file.Paths.get("/dev/shm"))) "/dev/shm"
+       else "target") + s"/graft-probe-corpus-$n"
 
     val prep = newSession(32)
     if (!Files.exists(Paths.get(corpusPath, "_SUCCESS")))

@@ -13,13 +13,20 @@ import graft.plans.{CanonicalizeUrl, GraftExtensions}
   */
 class CatalystExtensionsSpec extends AnyFunSuite {
 
-  private lazy val spark = SparkSession.builder()
-    .master("local[2]")
-    .appName("graft-catalyst-spec")
-    .config("spark.sql.shuffle.partitions", "2")
-    .config("spark.ui.enabled", "false")
-    .withExtensions(new GraftExtensions)
-    .getOrCreate()
+  // NOTE: suites share one SparkContext; withExtensions only applies
+  // to a freshly-created session, so register imperatively (same
+  // builder the extensions class injects).
+  private lazy val spark = {
+    val s = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-catalyst-spec")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    CanonicalizeUrl.register(s)
+    s
+  }
   import spark.implicits._
 
   private val messy = Seq(
