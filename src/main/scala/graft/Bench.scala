@@ -40,6 +40,12 @@ object Bench {
       // scan out to all cores (128m default = a handful of tasks)
       .config("spark.sql.files.maxPartitionBytes", "8m")
       .config("spark.sql.files.openCostInBytes", "1m")
+      // shuffle/spill on tmpfs too: /tmp sits on the sandbox's one
+      // throttled virtio disk and its writeback noise swamps the
+      // measurement (a cluster's shuffle IO scales with executors)
+      .config("spark.local.dir",
+        if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get("/dev/shm")))
+          "/dev/shm/graft-spark-local" else "/tmp")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
@@ -72,6 +78,11 @@ object Bench {
     runner.run()
     val sec = (System.nanoTime() - t0) / 1e9
     val urls = runner.crawlOrder().count() + runner.pages().count()
+    // free the tmpfs state (RAM) before the next measurement
+    try {
+      import scala.sys.process._
+      Seq("rm", "-rf", stateRoot).!
+    } catch { case _: Exception => }
     (urls, sec, urls / sec)
   }
 

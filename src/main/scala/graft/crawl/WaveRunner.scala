@@ -46,9 +46,12 @@ final class WaveRunner(
   import spark.implicits._
 
   val frontierT = SnapshotTable(spark, stateRoot, "frontier")
-  val seenT = SnapshotTable(spark, stateRoot, "seen")
-  val pagesT = SnapshotTable(spark, stateRoot, "pages")
-  val orderT = SnapshotTable(spark, stateRoot, "order")
+  /** The per-wave fact log: every popped row with its fetch state,
+    * extracted text, content hash and outlink count. The pages, order
+    * and seen "tables" are PROJECTIONS of this log (one storage, three
+    * views — commits are a single atomic directory adopt).
+    */
+  val processedT = SnapshotTable(spark, stateRoot, "processed")
   val metricsT = SnapshotTable(spark, stateRoot, "metrics")
 
   /** Rows actually put through fetch+extract this run — the probe the
@@ -106,7 +109,6 @@ final class WaveRunner(
       }
     }.distinct
     frontierT.commit(entries.toDS().toDF(), wave = 0)
-    seenT.commit(spark.emptyDataset[SeenEntry].toDF(), wave = 0)
     bloom.advance(0, frontierT.read().get)
   }
 
@@ -149,27 +151,18 @@ final class WaveRunner(
     }
 
     // ---- commit phase: idempotent per table, fixed order ----
-    // ONE staged artifact `processed` (all popped rows: urlHash, url,
-    // score, state, title, text, contentHash, htmlBytes, nOutlinks)
-    // feeds pages, order log, frontier update and metrics.
-    val sp = spark.read.parquet(s"$staging/processed")
-    val stagedNew = spark.read.parquet(s"$staging/new_frontier")
-
-    if (pagesT.committedWave() < w)
-      timed(s"w$w commit-pages")(pagesT.appendCommit(
-        sp.filter(col("state") === FrontierState.Fetched)
-          .select(col("urlHash"), col("url"), lit(w).as("wave"), col("title"),
-            col("text"), col("contentHash"), col("htmlBytes"), col("nOutlinks")), w))
+    // ONE staged artifact `processed` (all popped rows: wave, urlHash,
+    // url, score, state, title, text, contentHash, htmlBytes, links,
+    // nOutlinks) is ADOPTED by atomic directory rename — zero jobs —
+    // and serves pages/order/seen as projections.
+    if (processedT.committedWave() < w)
+      timed(s"w$w adopt-processed")(
+        processedT.adoptCommit(s"$staging/processed", w))
     if (failAfterPagesCommit)
       throw new IllegalStateException("simulated kill between table flips")
-    if (orderT.committedWave() < w)
-      orderT.appendCommit(
-        sp.select(lit(w).as("wave"), col("score"), col("urlHash"), col("url")), w)
-    if (seenT.committedWave() < w)
-      // seen is append-only: O(delta) commit, never a table rewrite
-      seenT.appendCommit(
-        sp.filter(col("state") === FrontierState.Fetched)
-          .select(col("urlHash"), col("contentHash"), lit(w).as("wave")), w)
+    val sp = processedT.readWaveSegment(w).get
+    val stagedNew = spark.read.parquet(s"$staging/new_frontier")
+
     if (frontierT.committedWave() < w) timed(s"w$w commit-frontier") {
       val frontier = frontierT.read().get
       val updated = frontier
@@ -287,7 +280,8 @@ final class WaveRunner(
         "contentHash", "htmlBytes", "links", "depth", "priority")
 
     timed(s"w$w fetch+extract+stage")(
-      processed.withColumn("nOutlinks", size(col("links")))
+      processed.withColumn("wave", lit(w))
+        .withColumn("nOutlinks", size(col("links")))
         .write.mode(SaveMode.Overwrite).parquet(s"$staging/processed"))
 
     // ---- frontier expansion (E2) from the staged artifact (resume
@@ -322,17 +316,29 @@ final class WaveRunner(
   }
 
   /** The crawl-order log (wave asc, score asc, urlHash asc) — the
-    * ordering-parity contract output.
+    * ordering-parity contract output. A projection of the processed
+    * log (Catalyst prunes the text columns out of the scan).
     */
   def crawlOrder(): DataFrame =
-    orderT.read().getOrElse(spark.emptyDataset[CrawlOrderEntry].toDF())
+    processedT.read()
+      .map(_.select(col("wave"), col("score"), col("urlHash"), col("url")))
+      .getOrElse(spark.emptyDataset[CrawlOrderEntry].toDF())
       .orderBy(col("wave").asc, col("score").asc, col("urlHash").asc)
 
+  /** URL-seen set: fetched rows' (urlHash, contentHash, wave). */
   def seen(): DataFrame =
-    seenT.read().getOrElse(spark.emptyDataset[SeenEntry].toDF())
+    processedT.read()
+      .map(_.filter(col("state") === FrontierState.Fetched)
+        .select(col("urlHash"), col("contentHash"), col("wave")))
+      .getOrElse(spark.emptyDataset[SeenEntry].toDF())
 
+  /** Extracted pages: fetched rows with text/title/hash columns. */
   def pages(): DataFrame =
-    pagesT.read().getOrElse(spark.emptyDataFrame)
+    processedT.read()
+      .map(_.filter(col("state") === FrontierState.Fetched)
+        .select(col("urlHash"), col("url"), col("wave"), col("title"),
+          col("text"), col("contentHash"), col("htmlBytes"), col("nOutlinks")))
+      .getOrElse(spark.emptyDataFrame)
 
   def metrics(): DataFrame =
     metricsT.read().getOrElse(spark.emptyDataset[WaveMetrics].toDF())

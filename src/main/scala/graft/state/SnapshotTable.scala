@@ -87,6 +87,33 @@ final class SnapshotTable(spark: SparkSession, root: String, val name: String) {
     */
   def appendCommit(df: DataFrame, wave: Int): Int = commitInternal(df, wave, append = true)
 
+  /** Adopt an existing parquet directory as the next append segment by
+    * ATOMIC DIRECTORY RENAME — zero Spark jobs, zero data copy. The
+    * source must live on the same filesystem (wave staging does).
+    * Idempotent across crashes: if the rename already happened but the
+    * manifest flip didn't, a retry just flips.
+    */
+  def adoptCommit(srcDir: String, wave: Int): Int = {
+    val prev = currentManifest()
+    val next = prev.map(_.version).getOrElse(0) + 1
+    val dir = versionDir(next)
+    Files.createDirectories(snapshotsDir)
+    if (!Files.exists(dir)) {
+      Files.move(Paths.get(srcDir), dir, StandardCopyOption.ATOMIC_MOVE)
+    }
+    val segments = prev.map(_.segments).getOrElse(Nil) :+ next
+    writeManifest(Manifest(next, wave, segments, listLineage(dir)))
+    next
+  }
+
+  /** The rows of the segment committed for `wave` — valid only while
+    * committedWave == wave (the commit protocol's own use).
+    */
+  def readWaveSegment(wave: Int): Option[DataFrame] =
+    currentManifest().filter(_.wave == wave).map { m =>
+      spark.read.parquet(versionDir(m.segments.last).toString)
+    }
+
   private def commitInternal(df: DataFrame, wave: Int, append: Boolean): Int = {
     val prev = currentManifest()
     val next = prev.map(_.version).getOrElse(0) + 1

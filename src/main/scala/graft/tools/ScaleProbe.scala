@@ -23,6 +23,12 @@ object ScaleProbe {
       // corpus into a handful of tasks)
       .config("spark.sql.files.maxPartitionBytes", "8m")
       .config("spark.sql.files.openCostInBytes", "1m")
+      // shuffle/spill on tmpfs too: /tmp sits on the sandbox's one
+      // throttled virtio disk and its writeback noise swamps the
+      // measurement (a cluster's shuffle IO scales with executors)
+      .config("spark.local.dir",
+        if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get("/dev/shm")))
+          "/dev/shm/graft-spark-local" else "/tmp")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
@@ -47,6 +53,11 @@ object ScaleProbe {
     runner.run()
     val sec = (System.nanoTime() - t0) / 1e9
     val urls = runner.crawlOrder().count() + runner.pages().count()
+    // free the tmpfs state (RAM) before the next measurement
+    try {
+      import scala.sys.process._
+      Seq("rm", "-rf", stateRoot).!
+    } catch { case _: Exception => }
     println(f"[probe] $label: $urls urls in $sec%.1fs = ${urls / sec}%.0f urls/s")
     (urls, sec)
   }

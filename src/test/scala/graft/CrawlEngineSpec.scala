@@ -134,7 +134,7 @@ class CrawlEngineSpec extends AnyFunSuite {
     // crash between the pages flip and the rest of wave 2's flips
     r1.failAfterPagesCommit = true
     intercept[IllegalStateException](r1.runWave(2))
-    assert(r1.pagesT.committedWave() === 2)
+    assert(r1.processedT.committedWave() === 2)
     assert(r1.frontierT.committedWave() === 1)
 
     // fresh runner = restarted job
