@@ -5,7 +5,6 @@ import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 import graft.core.{BoilerplateExtractor, Hashing, LinkExtractor, UrlNormalizer}
 import graft.core.Model._
@@ -242,8 +241,6 @@ final class WaveRunner(
 
     val popped = Politeness.popPerHost(withBudget)
       .select("urlHash", "url", "host", "depth", "priority", "score")
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    if (timed(s"w$w pop")(popped.isEmpty)) { popped.unpersist(); return false }
 
     // ---- fetch + extract: ONE pass over html, ONE staged artifact ----
     // popped left-joins the pages table; a missing page is the 404
@@ -284,9 +281,13 @@ final class WaveRunner(
         .withColumn("nOutlinks", size(col("links")))
         .write.mode(SaveMode.Overwrite).parquet(s"$staging/processed"))
 
+    // emptiness comes from the staged parquet's metadata (no separate
+    // window materialization just to ask isEmpty)
+    val sp = spark.read.parquet(s"$staging/processed")
+    if (sp.count() == 0L) return false // frontier drained
+
     // ---- frontier expansion (E2) from the staged artifact (resume
     // never re-extracts): explode links, dedup, anti-join ----
-    val sp = spark.read.parquet(s"$staging/processed")
     val candidates = sp
       .select(col("depth"), col("priority"), explode(col("links")).as("url"))
       .withColumn("urlHash", xxhash64(col("url")))
@@ -310,8 +311,6 @@ final class WaveRunner(
 
     timed(s"w$w expand+stage-new")(
       newEntries.write.mode(SaveMode.Overwrite).parquet(s"$staging/new_frontier"))
-
-    popped.unpersist()
     true
   }
 
