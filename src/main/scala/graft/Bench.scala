@@ -27,7 +27,7 @@ object Bench {
     * numbers compare; sized so parallel work dominates fixed per-wave
     * costs (~600k pages ≈ 4 min of single-core extract+expand work).
     */
-  val ScaleUrls: Long = sys.env.getOrElse("SPARK_GRAFT_BENCH_URLS", "600000").toLong
+  val ScaleUrls: Long = sys.env.getOrElse("SPARK_GRAFT_BENCH_URLS", "2400000").toLong
 
   private def newSession(cores: Int): SparkSession = {
     val s = SparkSession.builder()
