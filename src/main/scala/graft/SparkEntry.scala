@@ -44,6 +44,8 @@ object SparkEntry {
     "q_semi_join" -> (qSemiJoin(_, _)),
     "q_anti_join" -> (qAntiJoin(_, _)),
     "q_version_chain" -> (qVersionChain(_, _)),
+    "q_rules_lookup" -> (qRulesLookup(_, _)),
+    "q_config_merge" -> (qConfigMerge(_, _)),
     // filters / scheduling
     "q_topk_per_group" -> (qTopkPerGroup(_, _)),
     "q_politeness_pop" -> (qPolitenessPop(_, _)),
@@ -135,6 +137,18 @@ object SparkEntry {
         |   OVER (PARTITION BY user_id, event_type) AS is_latest
         |FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
         |  ORDER BY ts ASC, event_id ASC) AS version_number FROM events)""".stripMargin,
+    "q_rules_lookup" ->
+      """SELECT o_orderkey, coalesce(action, 'none') AS action
+        |FROM orders LEFT JOIN (VALUES
+        |  ('1-URGENT', 'escalate'), ('2-HIGH', 'escalate'),
+        |  ('3-MEDIUM', 'queue'), ('4-NOT SPECIFIED', 'ignore'))
+        |  AS rules(rule_priority, action)
+        | ON o_orderpriority = rule_priority""".stripMargin,
+    "q_config_merge" ->
+      """SELECT event_id,
+        | coalesce(json_extract_string(props, '$.k'), '0') AS cfg_k,
+        | coalesce(json_extract_string(props, '$.missing'), 'fallback') AS cfg_missing
+        |FROM events""".stripMargin,
     "q_topk_per_group" ->
       """SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price, rnk
         |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey

@@ -30,7 +30,11 @@ object SyntheticCorpus {
       /** host-skew exponent: higher ⇒ more mass on host 0 (power law). */
       skew: Double = 3.0,
       minOutlinks: Int = 3,
-      maxOutlinks: Int = 10)
+      maxOutlinks: Int = 10,
+      /** also emit one /robots.txt page per host (hosts ≡ 0 mod 5 get a
+        * Disallow on the /p/1 prefix + a crawl-delay) so robots
+        * discovery can be exercised from the table itself. */
+      withRobots: Boolean = false)
 
   private def h(spec: Spec, parts: Any*): Long =
     Hashing.xxhash64(parts.mkString(s"${spec.seed}:", ":", ""))
@@ -146,6 +150,26 @@ object SyntheticCorpus {
       lang = if (math.floorMod(i, 17L) == 0L) "de" else "en")
   }
 
+  /** Deterministic robots.txt body for a host (only some hosts restrict). */
+  def robotsTxtFor(hostId: Int): String =
+    if (hostId % 5 == 0)
+      s"""User-agent: *
+         |Disallow: /p/1
+         |Allow: /p/12
+         |Crawl-delay: 1
+         |""".stripMargin
+    else "User-agent: *\nDisallow:\n"
+
+  def robotsPageFor(hostId: Int, spec: Spec): PageInput = {
+    val body = robotsTxtFor(hostId)
+    PageInput(
+      url = s"http://${hostName(hostId)}/robots.txt",
+      warc_ts = new Timestamp(1600000000000L + hostId.toLong),
+      html = body.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      text = body,
+      lang = "en")
+  }
+
   /** Generate the corpus as a typed Dataset. Row content is independent
     * of `partitions` — only placement differs.
     */
@@ -153,6 +177,10 @@ object SyntheticCorpus {
     import spark.implicits._
     val n = if (partitions > 0) partitions
             else spark.sparkContext.defaultParallelism
-    spark.range(0, spec.numUrls, 1, n).map(i => pageFor(i, spec))
+    val pages = spark.range(0, spec.numUrls, 1, n).map(i => pageFor(i, spec))
+    if (!spec.withRobots) pages
+    else pages.unionByName(
+      spark.range(0, spec.numHosts, 1, math.min(n, spec.numHosts))
+        .map(h => robotsPageFor(h.toInt, spec)))
   }
 }

@@ -209,6 +209,33 @@ object QueryCatalog {
           .when(col("field_key").startsWith("ef_"), lit("float"))
           .otherwise(lit("text")))
 
+  /** J5 rules lookup: workspace → rules → action, a broadcast join
+    * against a literal rules dimension + when-chain (the reference's
+    * checksandactions path).
+    */
+  def qRulesLookup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rules = Seq(
+      ("1-URGENT", "escalate"), ("2-HIGH", "escalate"),
+      ("3-MEDIUM", "queue"), ("4-NOT SPECIFIED", "ignore"))
+      .toDF("rule_priority", "action")
+    t(spark, dir, "orders")
+      .join(broadcast(rules), col("o_orderpriority") === col("rule_priority"), "left")
+      .select(col("o_orderkey"),
+        coalesce(col("action"), lit("none")).as("action"))
+  }
+
+  /** S2 config merge: per-task config = instance JSON ∪ defaults
+    * (first non-null wins), the reference's instance_data ∪
+    * connector_data ∪ workspace.metadata merge.
+    */
+  def qConfigMerge(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .select(col("event_id"),
+        coalesce(get_json_object(col("props"), "$.k"), lit("0")).as("cfg_k"),
+        coalesce(get_json_object(col("props"), "$.missing"), lit("fallback"))
+          .as("cfg_missing"))
+
   // ---------- crawl scalar ops over synthesized columns (SURVEY §2.2) ----------
 
   /** O1 URL canonicalization, oracle-checkable: messy synthesized URL →
