@@ -103,12 +103,16 @@ object Bench {
     crawlBench(prep, corpusPath, seedsN = 1500, label = "warmup") // JIT
     prep.stop()
 
-    // ---- crawl at N and 4N cores, same input ----
+    // ---- crawl at N and 4N cores, same input; warm up INSIDE each
+    // session (codegen classes are per-session, a cold session's first
+    // big run pays compilation) ----
     val sSmall = newSession(smallCores)
+    crawlBench(sSmall, corpusPath, seedsN = 1500, label = "warm-small")
     val (_, secSmall, tputSmall) = crawlBench(sSmall, corpusPath,
       seedsN = (ScaleUrls / 4).toInt, label = s"c$smallCores")
     sSmall.stop()
     val sBig = newSession(cores)
+    crawlBench(sBig, corpusPath, seedsN = 1500, label = "warm-big")
     val (urlsBig, secBig, tputBig) = crawlBench(sBig, corpusPath,
       seedsN = (ScaleUrls / 4).toInt, label = s"c$cores")
     val speedup = secSmall / secBig

@@ -243,38 +243,49 @@ final class WaveRunner(
       .select("urlHash", "url", "host", "depth", "priority", "score")
 
     // ---- fetch + extract: ONE pass over html, ONE staged artifact ----
-    // popped left-joins the pages table; a missing page is the 404
-    // analog (state=failed). Extraction, title, content hash and
-    // outlinks all come out of the same partition iterator, so html
-    // bytes are touched exactly once per wave.
+    // Join shape matters at 100 TB: the popped side is budget-bounded
+    // (≤ Σ host budgets) while the pages side is the whole table, so
+    //  (a) fetched rows come from an INNER join with popped BROADCAST
+    //      — the html column is probed in place and NEVER shuffled (a
+    //      plain outer join silently degrades to sort-merge past
+    //      autoBroadcastJoinThreshold and shuffles the page bytes);
+    //  (b) the 404 analog (popped urls absent from the table) comes
+    //      from a keys-only anti-join — an 8-byte column shuffle.
+    // At popped sizes beyond broadcast reach, bucket both sides by
+    // urlHash instead; (b) is unchanged.
     val counter = extractCounter
-    val joined = popped.join(pagesByHash,
-      popped("urlHash") === pagesByHash("page_urlHash"), "left")
+    val fetchedJoin = pagesByHash.join(broadcast(popped),
+      popped("urlHash") === pagesByHash("page_urlHash"), "inner")
 
-    val processed = joined
+    val extracted = fetchedJoin
       .select(popped("urlHash"), col("url"), col("score"),
         col("depth"), col("priority"), col("html"))
       .as[(Long, String, Long, Int, Int, Array[Byte])]
       .mapPartitions { rows =>
         rows.map { case (urlHash, url, scoreV, depth, priority, html) =>
-          if (html == null)
-            (urlHash, url, scoreV, FrontierState.Failed, "", "", "",
-              0L, Array.empty[String], depth, priority)
-          else {
-            counter.add(1)
-            val s = new String(html, UTF_8)
-            val title = BoilerplateExtractor.extractTitle(s).getOrElse("No Title")
-            val text = BoilerplateExtractor.extractText(s)
-            val links = LinkExtractor.extractLinks(s, url)
-              .map(_.url).filter(_ != url).distinct // self-link drop (F8)
-            (urlHash, url, scoreV, FrontierState.Fetched, title, text,
-              Hashing.contentHash(Seq(text, title)), // reference hash rule (O6)
-              html.length.toLong, links.toArray, depth, priority)
-          }
+          counter.add(1)
+          val s = new String(html, UTF_8)
+          val title = BoilerplateExtractor.extractTitle(s).getOrElse("No Title")
+          val text = BoilerplateExtractor.extractText(s)
+          val links = LinkExtractor.extractLinks(s, url)
+            .map(_.url).filter(_ != url).distinct // self-link drop (F8)
+          (urlHash, url, scoreV, FrontierState.Fetched, title, text,
+            Hashing.contentHash(Seq(text, title)), // reference hash rule (O6)
+            html.length.toLong, links.toArray, depth, priority)
         }
       }
       .toDF("urlHash", "url", "score", "state", "title", "text",
         "contentHash", "htmlBytes", "links", "depth", "priority")
+
+    val failedRows = popped
+      .join(pagesByHash.select(col("page_urlHash")),
+        popped("urlHash") === col("page_urlHash"), "left_anti")
+      .select(col("urlHash"), col("url"), col("score"),
+        lit(FrontierState.Failed).as("state"), lit("").as("title"),
+        lit("").as("text"), lit("").as("contentHash"), lit(0L).as("htmlBytes"),
+        typedLit(Array.empty[String]).as("links"), col("depth"), col("priority"))
+
+    val processed = extracted.unionByName(failedRows)
 
     timed(s"w$w fetch+extract+stage")(
       processed.withColumn("wave", lit(w))

@@ -81,6 +81,10 @@ object ScaleProbe {
 
     val results = coreList.map { c =>
       val s = newSession(c)
+      // per-session warmup: generated-code classes differ per session
+      // (fresh expression ids), so codegen compilation must be paid
+      // before the timed run, inside THIS session
+      run(s, corpusPath, spec, seedsN = 1500, label = s"warm-c$c")
       val (urls, sec) = run(s, corpusPath, spec, seedsN = (n / 4).toInt, label = s"c$c")
       s.stop()
       c -> (urls, sec)
