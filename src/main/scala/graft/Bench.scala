@@ -106,15 +106,17 @@ object Bench {
     // ---- crawl at N and 4N cores, same input; warm up INSIDE each
     // session (codegen classes are per-session, a cold session's first
     // big run pays compilation) ----
+    def bestOf2(session: SparkSession, label: String): (Long, Double, Double) = {
+      crawlBench(session, corpusPath, seedsN = 1500, label = s"warm-$label")
+      val a = crawlBench(session, corpusPath, seedsN = (ScaleUrls / 4).toInt, label = label)
+      val b = crawlBench(session, corpusPath, seedsN = (ScaleUrls / 4).toInt, label = label)
+      if (a._2 <= b._2) a else b // min wall time damps host noise
+    }
     val sSmall = newSession(smallCores)
-    crawlBench(sSmall, corpusPath, seedsN = 1500, label = "warm-small")
-    val (_, secSmall, tputSmall) = crawlBench(sSmall, corpusPath,
-      seedsN = (ScaleUrls / 4).toInt, label = s"c$smallCores")
+    val (_, secSmall, tputSmall) = bestOf2(sSmall, s"c$smallCores")
     sSmall.stop()
     val sBig = newSession(cores)
-    crawlBench(sBig, corpusPath, seedsN = 1500, label = "warm-big")
-    val (urlsBig, secBig, tputBig) = crawlBench(sBig, corpusPath,
-      seedsN = (ScaleUrls / 4).toInt, label = s"c$cores")
+    val (urlsBig, secBig, tputBig) = bestOf2(sBig, s"c$cores")
     val speedup = secSmall / secBig
     val efficiency = speedup / (cores.toDouble / smallCores)
 
