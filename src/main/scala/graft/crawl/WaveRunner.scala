@@ -23,11 +23,12 @@ import graft.state.SnapshotTable
   *     removal + outlink extraction in one pass over the html;
   *  3. expand: links → canonicalize → in-batch dedup → bloom-prefiltered
   *     anti-join against the frontier (URL-seen, SURVEY.md §2.4);
-  *  4. commit: stage wave artifacts (pages/links/order) as idempotent
-  *     parquet, then flip the snapshot tables in a fixed order —
-  *     pages → order → seen → frontier → metrics. A kill at any point
-  *     resumes without re-extracting anything (zero re-fetches): staged
-  *     artifacts are reused, already-flipped tables are skipped.
+  *  4. commit: stage ONE processed artifact per wave (idempotent
+  *     parquet; pages/order/seen are projections of it), then flip in
+  *     a fixed order — adopt processed (atomic dir rename, zero jobs)
+  *     → frontier rewrite → bloom advance → metrics. A kill at any
+  *     point resumes without re-extracting anything (zero re-fetches):
+  *     staged artifacts are reused, already-flipped tables are skipped.
   *
   * Determinism: every dataset in the loop is a pure function of
   * (input table, seeds, config); ordering contracts are total
