@@ -80,6 +80,7 @@ object SparkEntry {
     // similarity search
     "q_cosine_topk" -> (qCosineTopK(_, _)),
     "q_ann_lsh" -> (qAnnLsh(_, _)),
+    "q_ann_ivf" -> (qAnnIvf(_, _)),
     "q_cosine_dup_pairs" -> (qCosineDupPairs(_, _)),
     // multimodal plumbing
     "q_media_features" -> (qMediaFeatures(_, _)))

@@ -418,6 +418,19 @@ object QueryCatalog {
         round(col("cosine"), 4).as("cosine"), col("rank"))
   }
 
+  /** IVF ANN over the same vectors (rows-only; recall vs brute force
+    * asserted in unit tests).
+    */
+  def qAnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val emb = embeddings(spark, dir)
+    val model = graft.operators.IvfIndex.train(spark, emb, k = 16, iterations = 2)
+    val assigned = graft.operators.IvfIndex.assign(emb, model)
+    graft.operators.IvfIndex.topK(emb.filter(col("id") < 30), assigned, model,
+        k = 3, nprobe = 4)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cosine"), 4).as("cosine"), col("rank"))
+  }
+
   /** Embedding-cosine near-dup pairs (rows-only). */
   def qCosineDupPairs(spark: SparkSession, dir: String): DataFrame = {
     val emb = embeddings(spark, dir)

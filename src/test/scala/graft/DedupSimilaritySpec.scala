@@ -129,6 +129,25 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(pairs.contains((900L, 901L)))
   }
 
+  test("IVF ANN: deterministic training, recall >= 0.6 vs brute force") {
+    import graft.operators.IvfIndex
+    val vecs = clusteredVecs(300, 20).toDF("id", "vec")
+    val model1 = IvfIndex.train(spark, vecs, k = 10, iterations = 2)
+    val model2 = IvfIndex.train(spark, vecs, k = 10, iterations = 2)
+    assert(model1.centroids.map(_.toSeq).toSeq === model2.centroids.map(_.toSeq).toSeq,
+      "training must be deterministic")
+    val assigned = IvfIndex.assign(vecs, model1)
+    val queries = vecs.filter(col("id") < 20)
+    val exact = Similarity.cosineTopK(queries, vecs, k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = IvfIndex.topK(queries, assigned, model1, k = 5, nprobe = 4)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.6, s"IVF recall $recall too low")
+  }
+
   // ---- multimodal plumbing ----
 
   test("media features: schema, determinism, frame sampling") {
