@@ -165,11 +165,16 @@ object UrlNormalizer {
       return site.map(s => parse(s))
     }
     // Relative resolution (reference semantics: literal path concat).
+    // Deviation from the reference (urlnorm.py:111): it concatenates the
+    // WHOLE raw urlstring (query and fragment still attached) into the
+    // base path AND re-appends query/fragment, duplicating them
+    // (`foo?x=1` → `.../foo?x=1?x=1`). We concatenate only the path —
+    // same intent, without the duplication bug.
     var resolved = urlString
     if (base.isDefined) {
       if (first.netloc.isEmpty) {
         val b = parse(base.get)
-        resolved = unparse(UrlParts(b.scheme, b.netloc, b.path + urlString,
+        resolved = unparse(UrlParts(b.scheme, b.netloc, b.path + first.path,
           first.params, first.query, first.fragment))
       }
     } else if (first.netloc.isEmpty && first.path.nonEmpty && site.isDefined) {

@@ -79,6 +79,12 @@ class UrlNormalizerSpec extends AnyFunSuite {
       site = Some("http://a.com/p/page.html"),
       base = Some("http://b.com/base/")) ===
       Some("http://b.com/base/x.html"))
+    // query survives exactly once (the reference's literal-concat
+    // variant duplicated it, urlnorm.py:111 — documented deviation)
+    assert(UrlNormalizer.normalize("foo?x=1",
+      site = Some("http://a.com/p/page.html"),
+      base = Some("http://b.com/base/")) ===
+      Some("http://b.com/base/foo?x=1"))
     // absolute urls ignore base
     assert(UrlNormalizer.normalize("http://c.com/y",
       site = Some("http://a.com/"), base = Some("http://b.com/")) ===
