@@ -121,13 +121,22 @@ object Bench {
     val efficiency = speedup / (cores.toDouble / smallCores)
 
     // ---- query timings (reuse the big-core session) ----
+    // a crashing query must NOT be silently recorded as a fast success:
+    // failures are flagged with a negative time and listed by name
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try fn(sBig, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(sBig, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] query $name FAILED: ${e.getMessage}")
+            false
+        }
+      val sec = (System.nanoTime() - t0) / 1e9
+      (name, if (ok) sec else -sec)
     }
-    val querySec = results.map(_._2).sum
+    val failed = results.collect { case (n, s) if s < 0 => n }
+    val querySec = results.map(r => math.abs(r._2)).sum
     val total = querySec + secBig
 
     val extra = Seq(
@@ -137,7 +146,8 @@ object Bench {
       s""""crawl_sec_c$smallCores":${f"$secSmall%.2f"}""",
       s""""crawl_urls_per_sec_c$smallCores":${f"$tputSmall%.1f"}""",
       s""""scaling_speedup_${smallCores}_to_$cores":${f"$speedup%.3f"}""",
-      s""""scaling_efficiency":${f"$efficiency%.3f"}""")
+      s""""scaling_efficiency":${f"$efficiency%.3f"}""",
+      s""""query_failures":${failed.size}""")
     val qs = (results.map { case (k, v) => s""""$k":${f"$v%.3f"}""" } ++ extra)
       .mkString("{", ",", "}")
     println(s"""{"metric":"crawl urls scheduled+extracted/sec @${cores}c: ${f"$tputBig%.1f"}; scaling eff ${smallCores}c->${cores}c: ${f"$efficiency%.3f"}; query total sec","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")

@@ -120,7 +120,10 @@ object HtmlDom {
     var rawUntil: String = null // inside <script>/<style>: text until this close tag
     while (i < n) {
       if (rawUntil != null) {
-        val close = html.toLowerCase.indexOf("</" + rawUntil, i)
+        // case-insensitive scan for the close tag WITHOUT copying the
+        // document: a page with hundreds of <script> tags must not
+        // re-lowercase the whole html per tag (O(tags·n) allocations)
+        val close = indexOfIgnoreCase(html, "</" + rawUntil, i)
         val stop = if (close < 0) n else close
         if (stop > i) out += TText(html.substring(i, stop))
         i = stop
@@ -174,6 +177,17 @@ object HtmlDom {
       }
     }
     out.toList
+  }
+
+  private def indexOfIgnoreCase(haystack: String, needle: String, from: Int): Int = {
+    val n = haystack.length
+    val m = needle.length
+    var i = math.max(from, 0)
+    while (i <= n - m) {
+      if (haystack.regionMatches(true, i, needle, 0, m)) return i
+      i += 1
+    }
+    -1
   }
 
   private def isNameChar(c: Char): Boolean =

@@ -20,13 +20,16 @@ object Model {
       lang: String)
 
   /** Frontier states. A URL enters `Pending`, leaves as `Fetched`
-    * (scheduled + extracted) or `Failed` (no page bytes available —
-    * the 404 analog).
+    * (scheduled + extracted), `Failed` (no page bytes available — the
+    * 404 analog, terminal), or `Deferred` (transient refusal — the
+    * reference's requeue-self path, baseconnector.py:158-181 — retried
+    * next wave with bounded attempts).
     */
   object FrontierState {
     val Pending = "pending"
     val Fetched = "fetched"
     val Failed = "failed"
+    val Deferred = "deferred"
   }
 
   /** One frontier row. `urlHash` = xxhash64(canonical url) is the join
@@ -45,8 +48,7 @@ object Model {
       depth: Int,
       priority: Int,
       score: Long,
-      discoveredWave: Int,
-      state: String)
+      discoveredWave: Int)
 
   /** Scheduling score: priority dominates, then depth; urlHash breaks
     * ties at sort time. Packed so a single long column sorts correctly
@@ -117,5 +119,33 @@ object Model {
       // ceil(mass/saltTarget) partitions (SURVEY.md §4 skew note)
       saltTarget: Long = 100000L,
       userAgent: String = "graft",
-      simulateCrawlDelay: Boolean = false)
+      simulateCrawlDelay: Boolean = false,
+      /** total tries per URL for a Deferred (transient) refusal —
+        * mirrors the reference's 3-attempt fetch retry
+        * (baseconnector.py:1176-1181) lifted to wave granularity via
+        * its requeue-self path (baseconnector.py:158-181). `Failed`
+        * (page absent from the table) is terminal regardless. */
+      maxFetchAttempts: Int = 3,
+      /** waves a deferred row waits before re-entering the pending set */
+      retryBackoffWaves: Int = 1,
+      /** re-crawl frequency gate (reference taskmanager.py:338-361,
+        * default frequency 86400 s at model.py:344) in wave units: a
+        * fetched URL becomes eligible again `recrawlEveryWaves` waves
+        * after its last fetch; 0 disables re-crawling (one-shot). */
+      recrawlEveryWaves: Int = 0,
+      /** fetch-join gate: the popped side broadcasts only below this
+        * row count; above it, the join co-partitions on urlHash
+        * (against the bucketed fetch source when `fetchBuckets` > 0)
+        * so page bytes are never forced through a driver broadcast. */
+      broadcastPopRows: Long = 1000000L,
+      /** > 0: materialize the fetch source ONCE as a table bucketed by
+        * urlHash (latest capture per url); every wave's fetch join then
+        * reuses the bucketing — no shuffle of the html column, ever.
+        * 0 keeps the plain scan (fine while pops stay broadcastable). */
+      fetchBuckets: Int = 0,
+      /** politeness wave clock: with a per-host crawl delay d (robots
+        * Crawl-delay or HostPolicy), at most waveDurationMs/d URLs of
+        * that host are schedulable per wave; 0 disables the delay gate
+        * (budgets alone apply). */
+      waveDurationMs: Long = 0L)
 }

@@ -1,0 +1,113 @@
+package graft.crawl
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Model.CrawlConfig
+
+/** The fetch side of the wave loop: in our input shape the page bytes
+  * already sit in the input table (BASELINE input_hint), so "fetch" is
+  * a join of the popped frontier rows against that table on urlHash.
+  *
+  * Join-shape policy at 10^10 scale (the part that must not be a
+  * one-size-fits-all broadcast):
+  *
+  *  - popped ≤ `broadcastPopRows`  → INNER join with the POPPED side
+  *    broadcast: the html column is probed in place, never exchanged.
+  *  - popped above the threshold   → co-partitioned SHUFFLE-HASH join.
+  *    With `fetchBuckets` > 0 the source was ingested ONCE as a table
+  *    bucketed by urlHash (latest capture per url), so the pages side
+  *    needs NO exchange — only the popped keys shuffle to the bucket
+  *    count. Without bucketing the join still runs (AQE picks the
+  *    strategy) but pays one wave-scoped shuffle — the bucketed source
+  *    is the designed scale path.
+  *
+  * Multiple captures per url (Common-Crawl-like `warc_ts` history) are
+  * legal in the input. The bucketed ingest dedups to the latest capture
+  * up front; the plain path dedups AFTER the join with a partial-agg
+  * `max_by` keyed on (warc_ts, xxhash64(html)) — a total order, so the
+  * survivor is deterministic — and that exchange carries only the
+  * wave's MATCHED rows (the bytes being extracted anyway), never the
+  * table.
+  */
+final class FetchSource(
+    spark: SparkSession,
+    pagesInput: DataFrame,
+    stateRoot: String,
+    config: CrawlConfig) {
+
+  /** Plain projection of the input keyed by canonical-url hash. */
+  private val plain: DataFrame = pagesInput
+    .select(xxhash64(col("url")).as("page_urlHash"), col("warc_ts"), col("html"))
+
+  private val bucketDir = s"$stateRoot/fetch_bucketed"
+  private val tableName =
+    "graft_fetch_" + java.lang.Long.toHexString(graft.core.Hashing.xxhash64(stateRoot))
+
+  /** True when joins run against the bucketed ingest (pre-deduped). */
+  val bucketed: Boolean = config.fetchBuckets > 0
+
+  /** The fetch source DataFrame. Bucketed mode materializes (once) a
+    * table CLUSTERED BY page_urlHash holding the latest capture per
+    * url; the one-time shuffle is amortized over every subsequent wave,
+    * which joins with zero exchange on the pages side. Idempotent and
+    * session-restart-safe: an existing directory is re-registered in
+    * the (in-memory) catalog via DDL instead of rewritten.
+    */
+  lazy val source: DataFrame =
+    if (!bucketed) plain
+    else {
+      val nb = config.fetchBuckets
+      if (!spark.catalog.tableExists(tableName)) {
+        if (!Files.exists(Paths.get(bucketDir, "_SUCCESS"))) {
+          val w = Window.partitionBy("page_urlHash")
+            .orderBy(col("warc_ts").desc, xxhash64(col("html")).desc)
+          plain
+            .repartition(nb, col("page_urlHash"))
+            .withColumn("rn", row_number().over(w))
+            .filter(col("rn") === 1).drop("rn")
+            .write.bucketBy(nb, "page_urlHash").sortBy("page_urlHash")
+            .option("path", bucketDir).format("parquet")
+            .mode("overwrite").saveAsTable(tableName)
+        } else {
+          val ddlSchema = plain.schema.toDDL
+          spark.sql(
+            s"""CREATE TABLE $tableName ($ddlSchema) USING parquet
+               |CLUSTERED BY (page_urlHash) SORTED BY (page_urlHash)
+               |INTO $nb BUCKETS LOCATION '$bucketDir'""".stripMargin)
+        }
+      }
+      spark.table(tableName)
+    }
+
+  /** Fetched rows for a popped set: popped columns + the page html,
+    * exactly one row per popped urlHash present in the table (latest
+    * capture wins). `poppedRows` drives the broadcast gate — it comes
+    * free from the staged-pop write's Observation.
+    */
+  def fetched(popped: DataFrame, poppedRows: Long): DataFrame = {
+    val small = poppedRows <= config.broadcastPopRows
+    val p = if (small) broadcast(popped) else popped.hint("shuffle_hash")
+    val joined = source
+      .join(p, p("urlHash") === col("page_urlHash"), "inner")
+    val cols = Seq("url", "host", "depth", "priority", "score", "attempts")
+    if (bucketed) // ingest already deduped to one capture per url
+      joined.select((col("urlHash") +: cols.map(col) :+ col("html")): _*)
+    else
+      joined
+        .groupBy(col("urlHash"))
+        .agg(max_by(struct((cols.map(col) :+ col("html")): _*),
+          struct(col("warc_ts"), xxhash64(col("html")))).as("r"))
+        .select((col("urlHash") +: cols.map(c => col(s"r.$c")) :+ col("r.html")): _*)
+  }
+
+  /** Popped urls with NO page bytes in the table (the 404 analog) — a
+    * keys-only anti-join (8-byte column shuffle at worst).
+    */
+  def missing(popped: DataFrame): DataFrame =
+    popped.join(source.select(col("page_urlHash")),
+      popped("urlHash") === col("page_urlHash"), "left_anti")
+}

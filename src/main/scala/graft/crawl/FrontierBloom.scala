@@ -30,9 +30,10 @@ import graft.operators.SeenSet
 final class FrontierBloom(
     stateRoot: String,
     config: CrawlConfig,
-    fullFrontier: () => Option[DataFrame]) {
+    fullFrontier: () => Option[DataFrame],
+    subdir: String = "bloom") {
 
-  private val dir: Path = Paths.get(stateRoot, "bloom")
+  private val dir: Path = Paths.get(stateRoot, subdir)
 
   @volatile private var cachedWave: Int = -2
   @volatile private var cachedBloom: Option[BloomFilter] = None
@@ -63,20 +64,24 @@ final class FrontierBloom(
 
   /** Record wave `w`'s delta (DataFrame with an `urlHash` column).
     * Idempotent: a second call for the same wave is a no-op.
+    * `knownCount` skips the counting job when the caller already
+    * observed the delta's row count during its own write.
     */
-  def advance(w: Int, delta: DataFrame): Unit = {
+  def advance(w: Int, delta: DataFrame, knownCount: Option[Long] = None): Unit = {
     Files.createDirectories(dir)
     if (Files.exists(metaPath(w))) return // already advanced (resume)
     val prevCount = readCount(w - 1).getOrElse(0L)
-    val deltaCount = delta.count()
+    val deltaCount = knownCount.getOrElse(delta.count())
     val total = prevCount + deltaCount
 
     val next: Option[BloomFilter] =
       if (total < config.bloomMinFrontier) None
       else get(w - 1) match {
         case Some(prev) if fits(prev, total) =>
-          val d = SeenSet.buildBloom(delta, "urlHash", expectedOf(prev), config.bloomFpp)
-          prev.mergeInPlace(d)
+          if (deltaCount > 0) {
+            val d = SeenSet.buildBloom(delta, "urlHash", expectedOf(prev), config.bloomFpp)
+            prev.mergeInPlace(d)
+          }
           Some(prev)
         case _ => // first crossing or outgrown: one full rebuild
           fullFrontier().map { f =>

@@ -3,7 +3,7 @@ package graft.crawl
 import java.nio.charset.StandardCharsets.UTF_8
 import java.nio.file.{Files, Paths}
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Observation, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.{BoilerplateExtractor, Hashing, LinkExtractor, UrlNormalizer}
@@ -15,20 +15,42 @@ import graft.state.SnapshotTable
   * tables (the Spark-native re-expression of the reference's
   * taskmaster/crawlnode/taskfeeder trio — SURVEY.md §3 E1-E3).
   *
+  * State layout — everything is an APPEND-ONLY log; per-wave commit
+  * I/O is O(delta), never O(frontier):
+  *
+  *  - `frontier` = the DISCOVERY log: wave-0 seeds plus one segment of
+  *    newly-discovered URLs per wave, each adopted by atomic directory
+  *    rename (zero jobs, zero rewrite). Keys never leave the log (the
+  *    URL-seen dedup needs every key ever discovered).
+  *  - `processed` = the per-wave fact log: every popped row with its
+  *    fetch state, extracted text, content hash, attempt number and
+  *    outlinks. pages / crawl-order / seen are PROJECTIONS of it.
+  *  - a row's EFFECTIVE state is resolved at read: pending = discovered
+  *    with no processed row; fetched/failed/deferred = its latest
+  *    processed row. The per-wave pending scan is read-only — an
+  *    anti-join of discoveries against processed KEYS (8-byte column),
+  *    Bloom-prefiltered so rows the sketch proves unprocessed skip the
+  *    shuffle. (Round 1 rewrote the whole frontier table every wave —
+  *    O(10^10) write amplification at the design point; this layout
+  *    replaces that with one rename + one keys-only read-side join,
+  *    mirroring the reference's O(delta) per-put bsddb persistence,
+  *    crawler/utils/priorityqueue.py:23-36.)
+  *
   * Per wave:
-  *  1. plan: pending frontier → robots filter → per-host budgeted pop
-  *     (two-stage salted window — exact per-host top-k, skew-safe);
-  *  2. fetch+extract: popped ⋈ pages-input on urlHash (the input table
-  *     IS the fetch source per input_hint); deterministic boilerplate
-  *     removal + outlink extraction in one pass over the html;
+  *  1. plan: pending = fresh ∪ retry-eligible deferred ∪ recrawl-due
+  *     (frequency gate, taskmanager.py:338-361) → robots dimension join
+  *     → per-host budgeted pop (two-stage salted window — exact
+  *     per-host top-k, skew-safe); the popped set is STAGED to parquet
+  *     so the ranking windows run once, not once per consumer;
+  *  2. fetch+extract: popped ⋈ pages input on urlHash via the
+  *     size-gated [[FetchSource]] (broadcast below threshold, bucketed
+  *     co-partitioned join above — html is never force-broadcast);
   *  3. expand: links → canonicalize → in-batch dedup → bloom-prefiltered
-  *     anti-join against the frontier (URL-seen, SURVEY.md §2.4);
-  *  4. commit: stage ONE processed artifact per wave (idempotent
-  *     parquet; pages/order/seen are projections of it), then flip in
-  *     a fixed order — adopt processed (atomic dir rename, zero jobs)
-  *     → frontier rewrite → bloom advance → metrics. A kill at any
-  *     point resumes without re-extracting anything (zero re-fetches):
-  *     staged artifacts are reused, already-flipped tables are skipped.
+  *     anti-join against the discovery log (URL-seen, SURVEY.md §2.4);
+  *  4. commit: adopt processed + new_frontier segments (atomic renames)
+  *     → advance both sketches → append metrics (all counts piggyback
+  *     on the staging writes via Observations — no extra count jobs).
+  *     A kill at any point resumes without re-extracting anything.
   *
   * Determinism: every dataset in the loop is a pure function of
   * (input table, seeds, config); ordering contracts are total
@@ -41,16 +63,12 @@ final class WaveRunner(
     stateRoot: String,
     config: CrawlConfig = CrawlConfig(),
     hostPolicies: Map[String, HostPolicy] = Map.empty,
-    robotsRules: Seq[RobotsRule] = Nil) {
+    robotsRules: Seq[RobotsRule] = Nil,
+    robotsDim: Option[DataFrame] = None) {
 
   import spark.implicits._
 
   val frontierT = SnapshotTable(spark, stateRoot, "frontier")
-  /** The per-wave fact log: every popped row with its fetch state,
-    * extracted text, content hash and outlink count. The pages, order
-    * and seen "tables" are PROJECTIONS of this log (one storage, three
-    * views — commits are a single atomic directory adopt).
-    */
   val processedT = SnapshotTable(spark, stateRoot, "processed")
   val metricsT = SnapshotTable(spark, stateRoot, "metrics")
 
@@ -64,6 +82,15 @@ final class WaveRunner(
     */
   private[graft] var failAfterPagesCommit: Boolean = false
 
+  /** Test/integration hook for TRANSIENT fetch refusals (the 429 /
+    * rate-limited analog — reference requeue-self,
+    * baseconnector.py:158-181): popped rows matching this predicate
+    * are marked Deferred instead of fetched and re-enter the pending
+    * set after `retryBackoffWaves`, up to `maxFetchAttempts` tries.
+    * Production transports (LiveFetch) plug their refusals in here.
+    */
+  private[graft] var deferInjector: Option[Column] = None
+
   private val timing = sys.env.contains("GRAFT_TIMING")
   private def timed[T](label: String)(f: => T): T = {
     if (!timing) f
@@ -75,12 +102,22 @@ final class WaveRunner(
     }
   }
 
-  // fetch source keyed by canonical-url hash; never joins on raw strings
-  private val pagesByHash: DataFrame = pagesInput
-    .select(xxhash64(col("url")).as("page_urlHash"),
-      col("url").as("page_url"), col("html"))
+  private val fetchSource = new FetchSource(spark, pagesInput, stateRoot, config)
 
-  private val bloom = new FrontierBloom(stateRoot, config, () => frontierT.read())
+  /** Robots dimension (host, rules, robotsDelayMs): explicit DataFrame
+    * if given, else lifted from the driver-side rule list. Always
+    * consumed as a broadcast join — never a closure-captured map.
+    */
+  private val robots: Option[DataFrame] =
+    robotsDim.orElse(Politeness.rulesDim(spark, robotsRules))
+
+  /** Sketch over the DISCOVERY log keys (D1 in-queue dedup). */
+  private val bloom = new FrontierBloom(stateRoot, config,
+    () => frontierT.read().map(_.select("urlHash")))
+
+  /** Sketch over the PROCESSED keys (pending-state resolution). */
+  private val popBloom = new FrontierBloom(stateRoot, config,
+    () => processedT.read().map(_.select("urlHash")), subdir = "popbloom")
 
   private def budgetFor = {
     val policies = hostPolicies // stable closure capture
@@ -90,8 +127,19 @@ final class WaveRunner(
     }
   }
 
-  /** Initialize the frontier from a seed list (url, priority). Commits
-    * frontier wave 0. No-op if the frontier already exists (resume).
+  private def policyDelayFor = {
+    val policies = hostPolicies
+    val default = config.defaultCrawlDelayMs
+    udf { (host: String) =>
+      policies.get(host).map(_.crawlDelayMs).getOrElse(default)
+    }
+  }
+
+  /** Initialize the frontier from a seed list (url, priority). Two
+    * seeds canonicalizing to the same URL keep one deterministic
+    * representative (min priority — mirroring the min()-based
+    * first-discovery rule used for links). Commits frontier wave 0.
+    * No-op if the frontier already exists (resume).
     */
   def initSeeds(seeds: Seq[(String, Int)]): Unit = {
     if (frontierT.exists()) return
@@ -104,12 +152,14 @@ final class WaveRunner(
           depth = 0,
           priority = priority,
           score = score(priority, 0),
-          discoveredWave = 0,
-          state = FrontierState.Pending)
+          discoveredWave = 0)
       }
-    }.distinct
+    }
+      .groupBy(_.urlHash).values
+      .map(_.minBy(e => (e.priority, e.url))).toSeq
+      .sortBy(_.urlHash)
     frontierT.commit(entries.toDS().toDF(), wave = 0)
-    bloom.advance(0, frontierT.read().get)
+    bloom.advance(0, frontierT.read().get, Some(entries.size.toLong))
   }
 
   /** Run waves until the frontier drains or maxWaves is hit; returns
@@ -126,105 +176,197 @@ final class WaveRunner(
   }
 
   /** Execute (or resume) wave `w`. Returns false when there was nothing
-    * left to schedule (crawl drained).
+    * left to schedule now or in any future wave (crawl drained).
     */
   def runWave(w: Int): Boolean = {
     require(frontierT.exists(), "initSeeds must run before waves")
+    val staging = Paths.get(stateRoot, "staging", s"wave_$w")
     if (frontierT.committedWave() >= w) {
-      // crash landed between the frontier flip and the bloom advance:
-      // catch the sketch chain up from the staged delta (advisory only
-      // — a still-missing sketch just means exact-anti-join waves)
-      val staged = Paths.get(stateRoot, "staging", s"wave_$w", "new_frontier")
-      if (Files.exists(staged))
-        bloom.advance(w, spark.read.parquet(staged.toString))
+      // crash landed after the frontier flip: catch the sketches and
+      // metrics up (all idempotent; sketches are advisory only — a
+      // still-missing one just means exact-anti-join waves)
+      if (Files.exists(staging.resolve("_IDLE"))) {
+        bloom.advance(w, spark.emptyDataFrame, Some(0L))
+        popBloom.advance(w, spark.emptyDataFrame, Some(0L))
+      } else {
+        val c = readCounts(staging)
+        if (frontierT.committedWave() == w)
+          frontierT.readWaveSegment(w).foreach(seg =>
+            bloom.advance(w, seg.select("urlHash"), c.map(_.newUrls)))
+        if (processedT.committedWave() == w)
+          processedT.readWaveSegment(w).foreach(seg =>
+            popBloom.advance(w, seg.select("urlHash"), c.map(_.scheduled)))
+      }
+      commitMetrics(w, staging.toString, 0L)
       return true
     }
 
     val t0 = System.nanoTime()
-    val staging = Paths.get(stateRoot, "staging", s"wave_$w")
     val stagedMarker = staging.resolve("_STAGED")
+    val idleMarker = staging.resolve("_IDLE")
 
-    if (!Files.exists(stagedMarker)) {
-      val didStage = timed(s"w$w stage")(stageWave(w, staging.toString))
-      if (!didStage) return false // frontier drained
-      Files.write(stagedMarker, Array.emptyByteArray)
+    if (!Files.exists(stagedMarker) && !Files.exists(idleMarker)) {
+      timed(s"w$w stage")(stageWave(w, staging.toString)) match {
+        case StageResult.Drained => return false
+        case StageResult.Idle => Files.write(idleMarker, Array.emptyByteArray)
+        case StageResult.Staged => Files.write(stagedMarker, Array.emptyByteArray)
+      }
+    }
+
+    if (Files.exists(idleMarker)) {
+      // nothing schedulable THIS wave (all remaining work behind a
+      // retry backoff or the re-crawl frequency gate): manifest-only
+      // wave advance, zero data jobs
+      if (processedT.committedWave() < w) processedT.markCommit(w)
+      if (frontierT.committedWave() < w) frontierT.markCommit(w)
+      bloom.advance(w, spark.emptyDataFrame, Some(0L))
+      popBloom.advance(w, spark.emptyDataFrame, Some(0L))
+      commitMetrics(w, staging.toString, (System.nanoTime() - t0) / 1000000L)
+      return true
     }
 
     // ---- commit phase: idempotent per table, fixed order ----
-    // ONE staged artifact `processed` (all popped rows: wave, urlHash,
-    // url, score, state, title, text, contentHash, htmlBytes, links,
-    // nOutlinks) is ADOPTED by atomic directory rename — zero jobs —
-    // and serves pages/order/seen as projections.
+    // staged artifacts are ADOPTED by atomic directory rename — zero
+    // jobs, zero data copy, O(delta) total commit I/O.
     if (processedT.committedWave() < w)
       timed(s"w$w adopt-processed")(
         processedT.adoptCommit(s"$staging/processed", w))
     if (failAfterPagesCommit)
       throw new IllegalStateException("simulated kill between table flips")
-    val sp = processedT.readWaveSegment(w).get
-    val stagedNew = spark.read.parquet(s"$staging/new_frontier")
+    if (frontierT.committedWave() < w)
+      timed(s"w$w adopt-frontier")(
+        frontierT.adoptCommit(s"$staging/new_frontier", w))
 
-    if (frontierT.committedWave() < w) timed(s"w$w commit-frontier") {
-      val frontier = frontierT.read().get
-      val updated = frontier
-        .join(sp.select(col("urlHash"), col("state").as("new_state")),
-          Seq("urlHash"), "left")
-        .withColumn("state", coalesce(col("new_state"), col("state")))
-        .drop("new_state")
-        .unionByName(stagedNew)
-      frontierT.commit(updated, w)
+    val counts = readCounts(staging)
+    timed(s"w$w sketches") {
+      frontierT.readWaveSegment(w).foreach(seg =>
+        bloom.advance(w, seg.select("urlHash"), counts.map(_.newUrls)))
+      processedT.readWaveSegment(w).foreach(seg =>
+        popBloom.advance(w, seg.select("urlHash"), counts.map(_.scheduled)))
     }
-    timed(s"w$w bloom-advance")(bloom.advance(w, stagedNew)) // incremental frontier-keys sketch
-    if (metricsT.committedWave() < w) timed(s"w$w metrics") {
-      // ONE aggregate over the staged artifact + a metadata-only count;
-      // pending is tracked arithmetically (scheduled rows leave Pending,
-      // newUrls enter — nothing else changes state)
-      val agg = sp.agg(count(lit(1)),
-        count(when(col("state") === FrontierState.Fetched, 1)),
-        coalesce(sum("htmlBytes"), lit(0L))).head()
-      val (scheduled, fetched, bytes) = (agg.getLong(0), agg.getLong(1), agg.getLong(2))
-      val newUrls = stagedNew.count()
-      val pendingLeft = pendingLeftAfter(w, scheduled, newUrls)
-      pendingCache = Some(w -> pendingLeft)
-      val m = WaveMetrics(w, scheduled, fetched, scheduled - fetched, bytes,
-        newUrls, pendingLeft, (System.nanoTime() - t0) / 1000000L)
-      metricsT.appendCommit(Seq(m).toDS().toDF(), w)
-    }
+    commitMetrics(w, staging.toString, (System.nanoTime() - t0) / 1000000L)
     true
   }
 
-  /** Pending count after wave w: previous pending − scheduled + new,
-    * from the in-memory cache or the wave-(w-1) metrics row; a fresh
-    * runner with no metrics history scans the (already wave-w) frontier
-    * directly.
+  // ---- pending-state resolution (read-side; no frontier rewrite) ----
+
+  private def processedSlim(p: DataFrame): DataFrame =
+    p.select("urlHash", "url", "host", "depth", "priority", "score",
+      "wave", "attempts", "state")
+
+  /** Latest try per urlHash (max by (wave, attempts) — total within a
+    * key because attempts increase per wave for the same key).
     */
-  private var pendingCache: Option[(Int, Long)] = None
-  private def pendingLeftAfter(w: Int, scheduled: Long, newUrls: Long): Long = {
-    val before: Option[Long] = pendingCache match {
-      case Some((wave, n)) if wave == w - 1 => Some(n)
-      case _ if w >= 2 =>
-        metricsT.read().flatMap { m =>
-          m.filter(col("wave") === w - 1).select("frontierPending")
-            .collect().headOption.map(_.getLong(0))
-        }
-      case _ => None // wave 1: before = the seed count
-    }
-    before match {
-      case Some(n) => n - scheduled + newUrls
+  private def latestTry(slim: DataFrame): DataFrame =
+    slim.groupBy("urlHash")
+      .agg(max_by(
+        struct(col("url"), col("host"), col("depth"), col("priority"),
+          col("score"), col("wave"), col("attempts"), col("state")),
+        struct(col("wave"), col("attempts"))).as("r"))
+      .select("urlHash", "r.*")
+
+  private val pendingCols =
+    Seq("urlHash", "url", "host", "depth", "priority", "score", "attempts", "origin")
+
+  /** The schedulable set for wave `w`:
+    *  - fresh: discovered, never popped (anti-join against processed
+    *    keys, sketch-prefiltered);
+    *  - retry: latest try Deferred, attempts < maxFetchAttempts, and
+    *    the backoff has elapsed (reference requeue-self);
+    *  - recrawl: latest try Fetched and `recrawlEveryWaves` elapsed
+    *    (reference crawl-frequency gate, taskmanager.py:338-361).
+    */
+  private def pendingSet(w: Int): DataFrame = {
+    val discoveries = frontierT.read().get
+      .select("urlHash", "url", "host", "depth", "priority", "score")
+    processedT.read() match {
       case None =>
-        frontierT.read().get.filter(col("state") === FrontierState.Pending).count()
+        discoveries.withColumn("attempts", lit(0))
+          .withColumn("origin", lit("fresh"))
+      case Some(p) =>
+        val fresh = SeenSet.notSeen(discoveries,
+            Some(p.select("urlHash")), popBloom.get(w - 1))
+          .withColumn("attempts", lit(0))
+          .withColumn("origin", lit("fresh"))
+        val slim = processedSlim(p)
+        val parts = Seq.newBuilder[DataFrame]
+        parts += fresh
+        if (config.maxFetchAttempts > 1) {
+          // restrict the latest-try aggregate to keys that were EVER
+          // deferred (predicate pushes into the parquet scan; the
+          // aggregate is empty-cheap when nothing defers)
+          val deferredKeys = p.filter(col("state") === FrontierState.Deferred)
+            .select("urlHash").distinct()
+          parts += latestTry(slim.join(deferredKeys, Seq("urlHash"), "left_semi"))
+            .filter(col("state") === FrontierState.Deferred &&
+              col("attempts") < config.maxFetchAttempts &&
+              col("wave") + config.retryBackoffWaves <= w)
+            .withColumn("origin", lit("retry"))
+            .select(pendingCols.map(col): _*)
+        }
+        if (config.recrawlEveryWaves > 0) {
+          parts += latestTry(slim)
+            .filter(col("state") === FrontierState.Fetched &&
+              col("wave") + config.recrawlEveryWaves <= w)
+            .withColumn("attempts", lit(0))
+            .withColumn("origin", lit("recrawl"))
+            .select(pendingCols.map(col): _*)
+        }
+        parts.result().reduce(_.unionByName(_))
     }
   }
 
-  /** Compute a wave's artifacts into the staging dir. Returns false if
-    * nothing is pending. This is the only phase that touches html; it
-    * runs at most once per wave across kills/resumes.
+  /** Effective state per discovered url (pending until its latest
+    * processed row says otherwise) — the read-side view of what used
+    * to be a mutable frontier state column.
     */
-  private def stageWave(w: Int, staging: String): Boolean = {
-    val frontier = frontierT.read().get
-    val pending = frontier
-      .filter(col("state") === FrontierState.Pending &&
-        col("depth") <= config.maxDepth)
-    val allowed = Politeness.robotsFilter(pending, robotsRules)
+  def frontierStates(): DataFrame = {
+    val discoveries = frontierT.read().get
+    processedT.read() match {
+      case None => discoveries.withColumn("state", lit(FrontierState.Pending))
+      case Some(p) =>
+        discoveries
+          .join(latestTry(processedSlim(p)).select(col("urlHash"),
+            col("state").as("p_state")), Seq("urlHash"), "left")
+          .withColumn("state",
+            coalesce(col("p_state"), lit(FrontierState.Pending)))
+          .drop("p_state")
+    }
+  }
+
+  private sealed trait StageResult
+  private object StageResult {
+    case object Staged extends StageResult
+    case object Idle extends StageResult
+    case object Drained extends StageResult
+  }
+
+  /** Anything left for a future wave when nothing popped now? (Open
+    * deferrals behind their backoff, or recrawl-eligible history.)
+    * Only evaluated at end-of-crawl, so the extra jobs are rare.
+    */
+  private def hasFutureWork: Boolean =
+    processedT.read().exists { p =>
+      val openDeferred = config.maxFetchAttempts > 1 && {
+        val deferredKeys = p.filter(col("state") === FrontierState.Deferred)
+          .select("urlHash").distinct()
+        !latestTry(processedSlim(p).join(deferredKeys, Seq("urlHash"), "left_semi"))
+          .filter(col("state") === FrontierState.Deferred &&
+            col("attempts") < config.maxFetchAttempts)
+          .isEmpty
+      }
+      openDeferred || (config.recrawlEveryWaves > 0 &&
+        !p.filter(col("state") === FrontierState.Fetched).isEmpty)
+    }
+
+  /** Compute a wave's artifacts into the staging dir. This is the only
+    * phase that touches html; it runs at most once per wave across
+    * kills/resumes.
+    */
+  private def stageWave(w: Int, staging: String): StageResult = {
+    val pending = pendingSet(w)
+      .filter(col("depth") <= config.maxDepth)
+    val allowed = Politeness.applyRobots(pending, robots)
 
     // salt-slot counts: only hosts above saltTarget need slots > 1;
     // that set is small by construction, so it broadcasts.
@@ -238,68 +380,89 @@ final class WaveRunner(
     val withBudget = allowed
       .join(broadcast(heavyHosts), Seq("host"), "left")
       .withColumn("saltSlots", coalesce(col("saltSlots"), lit(1)))
-      .withColumn("maxPerWave", budgetFor(col("host")))
+      .withColumn("maxPerWave",
+        Politeness.delayCappedBudget(
+          budgetFor(col("host")),
+          greatest(col("robotsDelayMs"), policyDelayFor(col("host"))),
+          config.waveDurationMs))
 
-    val popped = Politeness.popPerHost(withBudget)
-      .select("urlHash", "url", "host", "depth", "priority", "score")
+    // ---- pop, STAGED: the two-stage ranking windows run exactly once;
+    // every consumer (defer split, fetch join, miss anti-join, metrics)
+    // reads the staged parquet instead of recomputing the plan ----
+    val popObs = Observation(s"graft-pop-$w")
+    timed(s"w$w pop+stage")(
+      Politeness.popPerHost(withBudget)
+        .select(pendingCols.map(col): _*)
+        .observe(popObs,
+          count(lit(1)).as("n"),
+          count(when(col("origin") === "retry", 1)).as("retries"),
+          count(when(col("origin") === "recrawl", 1)).as("recrawls"))
+        .write.mode(SaveMode.Overwrite).parquet(s"$staging/popped"))
+    val poppedN = popObs.get("n").asInstanceOf[Long]
+    val retryN = popObs.get("retries").asInstanceOf[Long]
+    val recrawlN = popObs.get("recrawls").asInstanceOf[Long]
+
+    if (poppedN == 0L) {
+      writeCounts(staging, StageCounts(0, 0, 0, 0, 0, 0, 0))
+      return if (hasFutureWork) StageResult.Idle else StageResult.Drained
+    }
+
+    val popped = spark.read.parquet(s"$staging/popped").drop("origin")
+    val (toFetch, deferred) = deferInjector match {
+      case None => (popped, None)
+      case Some(pred) => (popped.filter(!pred), Some(popped.filter(pred)))
+    }
 
     // ---- fetch + extract: ONE pass over html, ONE staged artifact ----
-    // Join shape matters at 100 TB: the popped side is budget-bounded
-    // (≤ Σ host budgets) while the pages side is the whole table, so
-    //  (a) fetched rows come from an INNER join with popped BROADCAST
-    //      — the html column is probed in place and NEVER shuffled (a
-    //      plain outer join silently degrades to sort-merge past
-    //      autoBroadcastJoinThreshold and shuffles the page bytes);
-    //  (b) the 404 analog (popped urls absent from the table) comes
-    //      from a keys-only anti-join — an 8-byte column shuffle.
-    // At popped sizes beyond broadcast reach, bucket both sides by
-    // urlHash instead; (b) is unchanged.
     val counter = extractCounter
-    val fetchedJoin = pagesByHash.join(broadcast(popped),
-      popped("urlHash") === pagesByHash("page_urlHash"), "inner")
-
-    val extracted = fetchedJoin
-      .select(popped("urlHash"), col("url"), col("score"),
-        col("depth"), col("priority"), col("html"))
-      .as[(Long, String, Long, Int, Int, Array[Byte])]
+    val extracted = fetchSource.fetched(toFetch, poppedN)
+      .select(col("urlHash"), col("url"), col("host"), col("score"),
+        col("depth"), col("priority"), col("attempts"), col("html"))
+      .as[(Long, String, String, Long, Int, Int, Int, Array[Byte])]
       .mapPartitions { rows =>
-        rows.map { case (urlHash, url, scoreV, depth, priority, html) =>
+        rows.map { case (urlHash, url, host, scoreV, depth, priority, attempts, html) =>
           counter.add(1)
           val s = new String(html, UTF_8)
           val title = BoilerplateExtractor.extractTitle(s).getOrElse("No Title")
           val text = BoilerplateExtractor.extractText(s)
           val links = LinkExtractor.extractLinks(s, url)
             .map(_.url).filter(_ != url).distinct // self-link drop (F8)
-          (urlHash, url, scoreV, FrontierState.Fetched, title, text,
+          (urlHash, url, host, scoreV, FrontierState.Fetched, title, text,
             Hashing.contentHash(Seq(text, title)), // reference hash rule (O6)
-            html.length.toLong, links.toArray, depth, priority)
+            html.length.toLong, links.toArray, depth, priority, attempts + 1)
         }
       }
-      .toDF("urlHash", "url", "score", "state", "title", "text",
-        "contentHash", "htmlBytes", "links", "depth", "priority")
+      .toDF("urlHash", "url", "host", "score", "state", "title", "text",
+        "contentHash", "htmlBytes", "links", "depth", "priority", "attempts")
 
-    val failedRows = popped
-      .join(pagesByHash.select(col("page_urlHash")),
-        popped("urlHash") === col("page_urlHash"), "left_anti")
-      .select(col("urlHash"), col("url"), col("score"),
-        lit(FrontierState.Failed).as("state"), lit("").as("title"),
+    def emptyPage(rows: DataFrame, state: String): DataFrame = rows
+      .select(col("urlHash"), col("url"), col("host"), col("score"),
+        lit(state).as("state"), lit("").as("title"),
         lit("").as("text"), lit("").as("contentHash"), lit(0L).as("htmlBytes"),
-        typedLit(Array.empty[String]).as("links"), col("depth"), col("priority"))
+        typedLit(Array.empty[String]).as("links"), col("depth"), col("priority"),
+        (col("attempts") + 1).as("attempts"))
 
-    val processed = extracted.unionByName(failedRows)
+    val failedRows = emptyPage(fetchSource.missing(toFetch), FrontierState.Failed)
+    val processed = (extracted.unionByName(failedRows) +:
+      deferred.map(d => emptyPage(d, FrontierState.Deferred)).toSeq)
+      .reduce(_.unionByName(_))
 
+    val procObs = Observation(s"graft-proc-$w")
     timed(s"w$w fetch+extract+stage")(
       processed.withColumn("wave", lit(w))
         .withColumn("nOutlinks", size(col("links")))
+        .observe(procObs,
+          count(lit(1)).as("n"),
+          count(when(col("state") === FrontierState.Fetched, 1)).as("fetched"),
+          coalesce(sum("htmlBytes"), lit(0L)).as("bytes"))
         .write.mode(SaveMode.Overwrite).parquet(s"$staging/processed"))
-
-    // emptiness comes from the staged parquet's metadata (no separate
-    // window materialization just to ask isEmpty)
-    val sp = spark.read.parquet(s"$staging/processed")
-    if (sp.count() == 0L) return false // frontier drained
+    val scheduled = procObs.get("n").asInstanceOf[Long]
+    val fetchedN = procObs.get("fetched").asInstanceOf[Long]
+    val bytes = procObs.get("bytes").asInstanceOf[Long]
 
     // ---- frontier expansion (E2) from the staged artifact (resume
     // never re-extracts): explode links, dedup, anti-join ----
+    val sp = spark.read.parquet(s"$staging/processed")
     val candidates = sp
       .select(col("depth"), col("priority"), explode(col("links")).as("url"))
       .withColumn("urlHash", xxhash64(col("url")))
@@ -310,7 +473,7 @@ final class WaveRunner(
       .agg(min(col("url")).as("url"),
         min(col("depth")).as("pdepth"), min(col("priority")).as("priority"))
 
-    val frontierKeys = frontier.select("urlHash")
+    val frontierKeys = frontierT.read().get.select("urlHash")
     val newEntries = SeenSet.notSeen(candidates, Some(frontierKeys), bloom.get(w - 1))
       .select(
         col("urlHash"), col("url"),
@@ -318,17 +481,92 @@ final class WaveRunner(
         (col("pdepth") + 1).as("depth"),
         col("priority"),
         (col("priority").cast("long") * 1000000L + col("pdepth") + 1).as("score"),
-        lit(w).as("discoveredWave"),
-        lit(FrontierState.Pending).as("state"))
+        lit(w).as("discoveredWave"))
 
+    val newObs = Observation(s"graft-new-$w")
     timed(s"w$w expand+stage-new")(
-      newEntries.write.mode(SaveMode.Overwrite).parquet(s"$staging/new_frontier"))
-    true
+      newEntries.observe(newObs, count(lit(1)).as("n"))
+        .write.mode(SaveMode.Overwrite).parquet(s"$staging/new_frontier"))
+    val newUrls = newObs.get("n").asInstanceOf[Long]
+
+    writeCounts(staging,
+      StageCounts(scheduled, fetchedN, scheduled - fetchedN, bytes,
+        newUrls, retryN, recrawlN))
+    StageResult.Staged
   }
 
+  // ---- metrics (all inputs piggybacked from staging observations) ----
+
+  final case class StageCounts(scheduled: Long, fetched: Long, failed: Long,
+                               bytes: Long, newUrls: Long, retries: Long,
+                               recrawls: Long)
+
+  private def countsPath(staging: String) = Paths.get(staging, "counts.json")
+
+  private def writeCounts(staging: String, c: StageCounts): Unit = {
+    val json = s"""{"scheduled":${c.scheduled},"fetched":${c.fetched},""" +
+      s""""failed":${c.failed},"bytes":${c.bytes},"newUrls":${c.newUrls},""" +
+      s""""retries":${c.retries},"recrawls":${c.recrawls}}"""
+    Files.write(countsPath(staging), json.getBytes(UTF_8))
+  }
+
+  private def readCounts(staging: java.nio.file.Path): Option[StageCounts] =
+    readCounts(staging.toString)
+
+  private def readCounts(staging: String): Option[StageCounts] = {
+    val p = countsPath(staging)
+    if (!Files.exists(p)) return None
+    val json = new String(Files.readAllBytes(p), UTF_8)
+    def f(k: String): Long =
+      s""""$k"\\s*:\\s*(-?\\d+)""".r.findFirstMatchIn(json).map(_.group(1).toLong).getOrElse(0L)
+    Some(StageCounts(f("scheduled"), f("fetched"), f("failed"), f("bytes"),
+      f("newUrls"), f("retries"), f("recrawls")))
+  }
+
+  private def commitMetrics(w: Int, staging: String, elapsedMs: Long): Unit = {
+    if (metricsT.committedWave() >= w) return
+    val c = readCounts(staging).getOrElse(StageCounts(0, 0, 0, 0, 0, 0, 0))
+    val freshScheduled = c.scheduled - c.retries - c.recrawls
+    val pendingLeft = pendingLeftAfter(w, freshScheduled, c.newUrls)
+    pendingCache = Some(w -> pendingLeft)
+    val m = WaveMetrics(w, c.scheduled, c.fetched, c.scheduled - c.fetched,
+      c.bytes, c.newUrls, pendingLeft, elapsedMs)
+    metricsT.appendCommit(Seq(m).toDS().toDF(), w)
+  }
+
+  /** Pending count after wave w: previous pending − freshly-scheduled +
+    * newly-discovered (retry/recrawl pops re-enter from the processed
+    * log, not the pending pool, so they don't decrement it). Falls
+    * back to the exact anti-join count when no history exists.
+    */
+  private var pendingCache: Option[(Int, Long)] = None
+  private def pendingLeftAfter(w: Int, freshScheduled: Long, newUrls: Long): Long = {
+    val before: Option[Long] = pendingCache match {
+      case Some((wave, n)) if wave == w - 1 => Some(n)
+      case _ if w >= 2 =>
+        metricsT.read().flatMap { m =>
+          m.filter(col("wave") === w - 1).select("frontierPending")
+            .collect().headOption.map(_.getLong(0))
+        }
+      case _ => None // wave 1: before = the seed count
+    }
+    before match {
+      case Some(n) => n - freshScheduled + newUrls
+      case None =>
+        val discoveries = frontierT.read().get.select("urlHash")
+        processedT.read() match {
+          case None => discoveries.count()
+          case Some(p) =>
+            discoveries.join(p.select("urlHash"), Seq("urlHash"), "left_anti").count()
+        }
+    }
+  }
+
+  // ---- projections of the processed log ----
+
   /** The crawl-order log (wave asc, score asc, urlHash asc) — the
-    * ordering-parity contract output. A projection of the processed
-    * log (Catalyst prunes the text columns out of the scan).
+    * ordering-parity contract output. Retried/re-crawled URLs appear
+    * once per pop (it is a log of scheduling decisions).
     */
   def crawlOrder(): DataFrame =
     processedT.read()
@@ -343,7 +581,10 @@ final class WaveRunner(
         .select(col("urlHash"), col("contentHash"), col("wave")))
       .getOrElse(spark.emptyDataset[SeenEntry].toDF())
 
-  /** Extracted pages: fetched rows with text/title/hash columns. */
+  /** Extracted pages: fetched rows with text/title/hash columns. With
+    * re-crawling enabled a url has one row per fetch (version history);
+    * the latest is max(wave) per urlHash.
+    */
   def pages(): DataFrame =
     processedT.read()
       .map(_.filter(col("state") === FrontierState.Fetched)

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -91,29 +91,70 @@ object Politeness {
     bestAllow
   }
 
-  /** Filter a frontier DataFrame (columns url, host, ...) down to
-    * robots-allowed rows. `robotsRules` is a small dimension
-    * (host, allow, pathPrefix) — grouped per host on the driver and
-    * shipped in the closure (the rules table for even 10^8 hosts with
-    * rules is map-side-joinable; for truly huge rule sets swap this
-    * for a broadcast join on host + an aggregated rule evaluation).
+  /** Schema of the robots dimension: one row per host that HAS rules,
+    * rules aggregated into an array column plus the host's crawl-delay.
+    * Built either from parsed in-table robots pages ([[RobotsLoader]])
+    * or from a driver-side `Seq[RobotsRule]` (tests, small configs) —
+    * but always CONSUMED as a DataFrame joined on host, never as a
+    * closure-captured map (a 10^8-host rule set must not live on the
+    * driver).
     */
-  def robotsFilter(frontier: DataFrame, robotsRules: Seq[RobotsRule]): DataFrame = {
-    if (robotsRules.isEmpty) return frontier
-    val byHost: Map[String, Seq[RobotsRule]] = robotsRules.groupBy(_.host)
-    val allowedUdf = udf { (host: String, url: String) =>
-      byHost.get(host) match {
-        case None => true
-        case Some(rules) =>
-          val path = {
-            val p = graft.core.UrlNormalizer.parse(url).path
-            if (p.isEmpty) "/" else p
-          }
-          allowed(rules, path)
-      }
-    }
-    frontier.filter(allowedUdf(col("host"), col("url")))
+  def rulesDim(spark: SparkSession, rules: Seq[RobotsRule],
+               delays: Map[String, Long] = Map.empty): Option[DataFrame] = {
+    if (rules.isEmpty && delays.isEmpty) return None
+    import spark.implicits._
+    val r = rules.map(x => (x.host, x.allow, x.pathPrefix))
+      .toDF("host", "allow", "pathPrefix")
+      .groupBy("host")
+      .agg(collect_list(struct(col("allow"), col("pathPrefix"))).as("rules"))
+    val d = delays.toSeq.toDF("host", "robotsDelayMs")
+    Some(r.join(d, Seq("host"), "full")
+      .select(col("host"), col("rules"),
+        coalesce(col("robotsDelayMs"), lit(0L)).as("robotsDelayMs")))
   }
+
+  /** Join the robots dimension onto a frontier (columns url, host, …):
+    * drops disallowed rows and attaches `robotsDelayMs` (0 when the
+    * host has none). Longest-prefix-match with Allow winning length
+    * ties, evaluated as PURE CATALYST array algebra over the joined
+    * rules column (codegen'd; no driver-side rule map, no UDF):
+    * best = max over matching prefixes of (prefixLen, allowBit).
+    * The dimension side broadcasts (hosts-with-rules << frontier).
+    */
+  def applyRobots(frontier: DataFrame, dim: Option[DataFrame]): DataFrame = {
+    dim match {
+      case None => frontier.withColumn("robotsDelayMs", lit(0L))
+      case Some(d) =>
+        val path = {
+          val p = regexp_extract(col("url"), "^[a-z][a-z0-9+.-]*://[^/]*(/[^?#]*)", 1)
+          when(p === "", lit("/")).otherwise(p)
+        }
+        val best = array_max(transform(
+          filter(col("rules"), r => path.startsWith(r.getField("pathPrefix"))),
+          r => struct(length(r.getField("pathPrefix")).as("len"),
+            r.getField("allow").cast("int").as("allowBit"))))
+        frontier
+          .join(broadcast(d), Seq("host"), "left")
+          .withColumn("robotsDelayMs", coalesce(col("robotsDelayMs"), lit(0L)))
+          .filter(col("rules").isNull || best.isNull || best.getField("allowBit") === 1)
+          .drop("rules")
+    }
+  }
+
+  /** Per-host effective wave budget under a crawl delay: with delay d
+    * and a wave clock of `waveDurationMs`, a polite fetcher can issue
+    * at most waveDurationMs/d requests to that host per wave (at least
+    * 1 so delayed hosts still progress). Delay = max(robots
+    * Crawl-delay, HostPolicy delay); 0/absent delay or a zero wave
+    * clock leaves the plain budget.
+    */
+  def delayCappedBudget(maxPerWave: Column, delayMs: Column,
+                        waveDurationMs: Long): Column =
+    if (waveDurationMs <= 0L) maxPerWave
+    else when(delayMs > 0L,
+      least(maxPerWave,
+        greatest((lit(waveDurationMs) / delayMs).cast("int"), lit(1))))
+      .otherwise(maxPerWave)
 
   /** Per-host top-k pop with explicit skew control (SURVEY.md §4).
     *

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -28,6 +28,51 @@ object PostStore {
     case object Versioned extends SaveMode
     case object InsertNew extends SaveMode
   }
+
+  // ---- EAV dynamic entities (reference baseconnector.py:896-928) ----
+
+  /** Field-prefix → storage type, exactly the reference's map
+    * (baseconnector.py:106): et_/es_/s_ text, edate_ date, ei_ integer,
+    * ef_ float.
+    */
+  def eavType(key: Column): Column =
+    when(key.startsWith("ei_"), lit("integer"))
+      .when(key.startsWith("ef_"), lit("float"))
+      .when(key.startsWith("edate_"), lit("date"))
+      .otherwise(lit("text"))
+
+  /** Normalize a dynamic-entities map column for storage: text values
+    * truncate to 2000 chars (reference baseconnector.py:910-912).
+    * Pure Catalyst (map_from_arrays over transformed entries).
+    */
+  def eavStoreMap(entities: Column): Column =
+    map_from_arrays(
+      map_keys(entities),
+      transform(map_entries(entities),
+        e => when(eavType(e.getField("key")) === "text",
+          substring(e.getField("value"), 1, 2000))
+          .otherwise(e.getField("value"))))
+
+  /** Typed read of stored EAV entities: explode the map into
+    * (field_key, field_value, field_type) plus typed casts —
+    * `int_value` / `float_value` / `date_value` are non-null exactly
+    * when the prefix says so and the value parses.
+    */
+  def eavExplode(stored: DataFrame, entitiesCol: String): DataFrame =
+    stored
+      .select(stored.columns.map(col) :+
+        explode(col(entitiesCol)).as(Seq("field_key", "field_value")): _*)
+      .withColumn("field_type", eavType(col("field_key")))
+      .withColumn("int_value",
+        when(col("field_type") === "integer",
+          col("field_value").cast("long")).otherwise(lit(null).cast("long")))
+      .withColumn("float_value",
+        when(col("field_type") === "float",
+          col("field_value").cast("double")).otherwise(lit(null).cast("double")))
+      .withColumn("date_value",
+        when(col("field_type") === "date",
+          to_date(col("field_value"))).otherwise(lit(null).cast("date")))
+      .drop(entitiesCol)
 
   /** Merge `incoming` into `table` by `keyCol`. `incoming` must carry
     * the data columns; version bookkeeping columns (version_number,
@@ -76,4 +121,29 @@ object PostStore {
     }
     table.commit(merged, wave)
   }
+
+  /** Versioned save, O(delta): each call APPENDS a segment (no table
+    * rewrite — the 100 TB-honest path) and version bookkeeping is
+    * resolved AT READ by [[resolveVersions]]. Equivalent content to
+    * eager [[SaveMode.Versioned]] (pinned by tests); the eager mode
+    * remains as the copy-on-write analog for small dimensions.
+    */
+  def saveVersionedAppend(table: SnapshotTable, incoming: DataFrame,
+                          keyCol: String, wave: Int): Unit =
+    table.appendCommit(incoming.withColumn("save_wave", lit(wave)), wave)
+
+  /** Resolve version_number / is_latest over the appended segments:
+    * version = rank of the row's save_wave within its key (append
+    * order), is_latest = last one. One window over (key), exactly the
+    * read-side cost the eager mode paid at every write.
+    */
+  def resolveVersions(table: SnapshotTable, keyCol: String): Option[DataFrame] =
+    table.read().map { df =>
+      val w = Window.partitionBy(keyCol).orderBy(col("save_wave").asc)
+      val wAll = Window.partitionBy(keyCol)
+      df.withColumn("version_number", row_number().over(w))
+        .withColumn("is_latest",
+          col("version_number") === max(col("version_number")).over(wAll))
+        .drop("save_wave")
+    }
 }

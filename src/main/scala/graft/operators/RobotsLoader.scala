@@ -5,39 +5,62 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Model.RobotsRule
 
-/** Derive per-host robots rules from the input pages table itself:
-  * rows whose canonical url is `http(s)://host/robots.txt` are parsed
-  * (Politeness.parseRobots) into the broadcastable rules dimension the
-  * wave planner consumes. This closes the north-rule loop — robots
-  * live in the same Iceberg-style table as every other fetched page,
-  * no side channel.
+/** Derive the per-host robots dimension from the input pages table
+  * itself: rows whose canonical url is `http(s)://host/robots.txt` are
+  * parsed (Politeness.parseRobots) into the broadcastable rules
+  * dimension the wave planner joins on host. This closes the
+  * north-rule loop — robots live in the same Iceberg-style table as
+  * every other fetched page, no side channel.
   *
   * Scale shape: the robots subset is ~one row per host (tiny vs the
-  * page table); the filter pushes down on the url suffix, and the
-  * result is collected to the driver only because the wave planner
-  * broadcasts it anyway.
+  * page table, filter pushes down on the url suffix); parsing runs on
+  * EXECUTORS inside a projection and the result STAYS a DataFrame —
+  * nothing is collected to the driver, so 10^8 hosts' rules are just
+  * another (broadcast-joinable) dimension table.
   */
 object RobotsLoader {
 
+  /** The robots dimension (host, rules: array<struct<allow,pathPrefix>>,
+    * robotsDelayMs) — the shape [[Politeness.applyRobots]] consumes.
+    * None when the table contains no robots pages is NOT distinguished:
+    * an empty dimension joins to nothing and allows everything.
+    */
+  def robotsDim(spark: SparkSession, pagesInput: DataFrame,
+                userAgent: String): DataFrame = {
+    val parse = udf { (url: String, bytes: Array[Byte]) =>
+      val host = graft.core.UrlNormalizer.hostOf(url)
+      if (host.isEmpty || bytes == null) None
+      else {
+        val txt = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+        val (rules, delay) = Politeness.parseRobots(host, txt, userAgent)
+        Some((host, rules.map(r => (r.allow, r.pathPrefix)), delay.getOrElse(0L)))
+      }
+    }
+    pagesInput
+      .filter(col("url").endsWith("/robots.txt"))
+      .select(parse(col("url"), col("html")).as("r"))
+      .filter(col("r").isNotNull)
+      .select(col("r._1").as("host"),
+        transform(col("r._2"),
+          x => struct(x.getField("_1").as("allow"),
+            x.getField("_2").as("pathPrefix"))).as("rules"),
+        col("r._3").as("robotsDelayMs"))
+  }
+
+  /** Driver-side variant kept for small/test configs (explicit rule
+    * lists); production paths use [[robotsDim]].
+    */
   def robotsRules(spark: SparkSession, pagesInput: DataFrame,
                   userAgent: String): (Seq[RobotsRule], Map[String, Long]) = {
     import spark.implicits._
-    val robotsRows = pagesInput
-      .filter(col("url").endsWith("/robots.txt"))
-      .select(col("url"), col("html"))
-      .as[(String, Array[Byte])]
+    val rows = robotsDim(spark, pagesInput, userAgent)
+      .select(col("host"), col("rules"), col("robotsDelayMs"))
+      .as[(String, Seq[(Boolean, String)], Long)]
       .collect()
-    val rules = Seq.newBuilder[RobotsRule]
-    val delays = Map.newBuilder[String, Long]
-    robotsRows.foreach { case (url, bytes) =>
-      val host = graft.core.UrlNormalizer.hostOf(url)
-      if (host.nonEmpty && bytes != null) {
-        val txt = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
-        val (hostRules, delay) = Politeness.parseRobots(host, txt, userAgent)
-        rules ++= hostRules
-        delay.foreach(d => delays += host -> d)
-      }
-    }
-    (rules.result(), delays.result())
+    val rules = rows.flatMap { case (h, rs, _) =>
+      rs.map { case (allow, prefix) => RobotsRule(h, allow, prefix) }
+    }.toSeq
+    val delays = rows.collect { case (h, _, d) if d > 0 => h -> d }.toMap
+    (rules, delays)
   }
 }

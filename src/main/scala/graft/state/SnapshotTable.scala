@@ -106,6 +106,14 @@ final class SnapshotTable(spark: SparkSession, root: String, val name: String) {
     next
   }
 
+  /** Advance the committed-wave marker WITHOUT new data (an idle wave:
+    * nothing was schedulable this wave, e.g. all remaining work is
+    * behind a retry backoff or re-crawl frequency gate). Zero jobs,
+    * zero segments — just a manifest flip. No-op on a fresh table.
+    */
+  def markCommit(wave: Int): Unit =
+    currentManifest().foreach(m => writeManifest(m.copy(wave = wave)))
+
   /** The rows of the segment committed for `wave` — valid only while
     * committedWave == wave (the commit protocol's own use).
     */

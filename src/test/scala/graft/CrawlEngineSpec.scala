@@ -120,7 +120,7 @@ class CrawlEngineSpec extends AnyFunSuite {
   }
 
   test("depth gate: nothing beyond maxDepth is scheduled") {
-    val depths = baseline.frontierT.read().get
+    val depths = baseline.frontierStates()
       .filter(col("state") =!= "pending")
       .select(max("depth")).collect().head.getInt(0)
     assert(depths <= config.maxDepth)
@@ -157,11 +157,20 @@ class CrawlEngineSpec extends AnyFunSuite {
   }
 
   test("frontier states are consistent with pages and order") {
-    val frontier = baseline.frontierT.read().get
-    val fetched = frontier.filter(col("state") === "fetched").count()
+    val states = baseline.frontierStates()
+    val fetched = states.filter(col("state") === "fetched").count()
     assert(fetched === baseline.pages().count())
     val orderCount = baseline.crawlOrder().count()
-    val failed = frontier.filter(col("state") === "failed").count()
+    val failed = states.filter(col("state") === "failed").count()
     assert(orderCount === fetched + failed)
+  }
+
+  test("wave commits are O(delta): per-wave frontier segments, no rewrite") {
+    // the discovery log must list one immutable segment per committed
+    // wave (seeds + one delta each) — a full-table rewrite would
+    // collapse it back to a single segment
+    val m = baseline.frontierT.currentManifest().get
+    assert(m.segments.size === baseline.frontierT.committedWave() + 1,
+      s"expected one appended segment per wave, got ${m.segments}")
   }
 }

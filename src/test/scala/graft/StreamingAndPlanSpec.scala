@@ -91,6 +91,80 @@ class StreamingAndPlanSpec extends AnyFunSuite {
     assert(finalPlan("q_priority_score").contains("*("))
   }
 
+  // ---- fetch-join + robots plan audits (round-2 scale fixes) ----
+
+  private def planNodes(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    p.collect { case n => n }.flatMap {
+      case a: AdaptiveSparkPlanExec => planNodes(a.executedPlan)
+      case n => Seq(n)
+    }
+  }
+
+  private def fetchAudit(broadcastPopRows: Long, poppedRows: Long) = {
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeLike, ShuffleExchangeLike}
+    val corpus = SyntheticCorpus.generate(spark, spec).toDF()
+    val root = Files.createTempDirectory("graft-fetchaudit-").toString
+    val fs = new graft.crawl.FetchSource(spark, corpus, root,
+      CrawlConfig(fetchBuckets = 4, broadcastPopRows = broadcastPopRows))
+    import spark.implicits._
+    val popped = (0L until 20L).map { i =>
+      val u = SyntheticCorpus.urlFor(i, spec)
+      (graft.core.Hashing.xxhash64(u), u, graft.core.UrlNormalizer.hostOf(u),
+        0, 1, 1000000L, 0)
+    }.toDF("urlHash", "url", "host", "depth", "priority", "score", "attempts")
+    val df = fs.fetched(popped, poppedRows)
+    assert(df.count() === 20) // execute so AQE finalizes the plan
+    val nodes = planNodes(df.queryExecution.executedPlan)
+    val shuffles = nodes.collect { case s: ShuffleExchangeLike => s }
+    val broadcasts = nodes.collect { case b: BroadcastExchangeLike => b }
+    (shuffles, broadcasts)
+  }
+
+  test("fetch join, large regime: no broadcast, html never shuffles") {
+    // broadcastPopRows=0 ⇒ co-partitioned join against the bucketed source
+    val (shuffles, broadcasts) = fetchAudit(broadcastPopRows = 0L, poppedRows = 20L)
+    assert(broadcasts.isEmpty, "popped side must NOT broadcast above the threshold")
+    assert(shuffles.nonEmpty, "the popped keys side exchanges to the bucket count")
+    shuffles.foreach { s =>
+      assert(!s.output.exists(_.name == "html"),
+        s"html exchanged in: ${s.simpleStringWithNodeId()}")
+    }
+  }
+
+  test("fetch join, broadcast regime: popped broadcasts, html never shuffles") {
+    val (shuffles, broadcasts) = fetchAudit(broadcastPopRows = 1000L, poppedRows = 20L)
+    assert(broadcasts.nonEmpty, "small pops broadcast")
+    broadcasts.foreach(b => assert(!b.output.exists(_.name == "html")))
+    shuffles.foreach(s => assert(!s.output.exists(_.name == "html")))
+  }
+
+  test("robots gate joins the rules dimension via broadcast, no driver map") {
+    import graft.core.Model.RobotsRule
+    import graft.operators.Politeness
+    import spark.implicits._
+    val frontier = (0 until 100).map(i =>
+      (s"http://h${i % 5}.test/p/$i", s"h${i % 5}.test"))
+      .toDF("url", "host")
+    // host h0 holds /p/0, /p/5, /p/10, … /p/95: disallow the /p/1
+    // prefix (hits /p/10 /p/15 …) but allow /p/15 back (longer prefix)
+    val dim = Politeness.rulesDim(spark,
+      Seq(RobotsRule("h0.test", allow = false, pathPrefix = "/p/1"),
+        RobotsRule("h0.test", allow = true, pathPrefix = "/p/15")))
+    val gated = Politeness.applyRobots(frontier, dim)
+    gated.collect()
+    val p = gated.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"robots must broadcast-join:\n$p")
+    // longest-prefix semantics survive the Catalyst re-expression
+    val kept = gated.select("url").collect().map(_.getString(0)).toSet
+    assert(!kept.exists(u => u.startsWith("http://h0.test/p/1") &&
+      !u.startsWith("http://h0.test/p/15")))
+    assert(kept.contains("http://h0.test/p/15"))
+    assert(kept.contains("http://h0.test/p/0"))
+    assert(kept.count(_.startsWith("http://h1.test/")) === 20)
+  }
+
   test("streaming window aggregation works via readStream") {
     import org.apache.spark.sql.streaming.Trigger
     // FileStreamSource wants a directory; the test table is one file
