@@ -57,6 +57,10 @@ object SparkEntry {
     "q_exclusion_filter" -> (qExclusionFilter(_, _)),
     "q_essential_fields" -> (qEssentialFields(_, _)),
     "q_eav_typing" -> (qEavTyping(_, _)),
+    "q_eav_store" -> (qEavStore(_, _)),
+    "q_crawl_frequency_gate" -> (qCrawlFrequencyGate(_, _)),
+    "q_requeue_backoff" -> (qRequeueBackoff(_, _)),
+    "q_session_skip" -> (qSessionSkip(_, _)),
     // crawl scalar ops
     "q_url_canonicalize" -> (qUrlCanonicalize(_, _)),
     "q_extract_text" -> (qExtractText(_, _)),
@@ -269,6 +273,126 @@ object SparkEntry {
         | round(len(list_intersect(a.wset, b.wset)) * 1.0 /
         |   len(list_distinct(list_concat(a.wset, b.wset))), 4) AS jaccard
         |FROM sets a JOIN sets b ON b.doc_id = a.doc_id + 1""".stripMargin,
+    "q_crawl_frequency_gate" ->
+      """SELECT o_orderkey,
+        | CAST(datediff('day', o_orderdate, DATE '1995-06-17') AS int) AS age_days,
+        | CAST((o_orderkey % 5 + 1) * 100 AS int) AS frequency_days
+        |FROM orders
+        |WHERE datediff('day', o_orderdate, DATE '1995-06-17')
+        |  >= (o_orderkey % 5 + 1) * 100""".stripMargin,
+    "q_requeue_backoff" ->
+      """SELECT event_id, CAST(event_id % 4 AS int) AS attempts,
+        | (event_id % 4) < 3 AS retryable,
+        | CAST(CASE WHEN event_id % 4 = 0 THEN event_id % 10 + 1
+        |   WHEN event_id % 4 = 1 THEN event_id % 10 + 2
+        |   WHEN event_id % 4 = 2 THEN event_id % 10 + 4
+        |   ELSE -1 END AS int) AS next_eligible_wave
+        |FROM events""".stripMargin,
+    "q_session_skip" ->
+      """WITH state AS (
+        |  SELECT source, CAST(doc_id AS varchar) AS did, md5(text) AS h
+        |  FROM documents WHERE doc_id % 3 <> 0),
+        |inc AS (
+        |  SELECT doc_id, source, CAST(doc_id AS varchar) AS did,
+        |    CASE WHEN doc_id % 7 = 0 THEN md5(text || 'v2') ELSE md5(text) END AS h
+        |  FROM documents)
+        |SELECT inc.doc_id, (s.h IS NOT NULL) AS skip,
+        |  (s.h IS NULL OR s.h <> inc.h) AS updated
+        |FROM inc LEFT JOIN state s ON inc.source = s.source AND inc.did = s.did""".stripMargin,
+    "q_eav_store" ->
+      """WITH li AS (SELECT * FROM lineitem WHERE l_orderkey <= 50)
+        |SELECT l_orderkey, l_linenumber, 'ei_qty' AS field_key,
+        |  CAST(CAST(l_quantity AS int) AS varchar) AS field_value,
+        |  'integer' AS field_type,
+        |  CAST(CAST(l_quantity AS int) AS bigint) AS int_value,
+        |  CAST(NULL AS double) AS float_value, CAST(NULL AS varchar) AS date_str
+        |FROM li
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'ef_price',
+        |  CAST(round(l_extendedprice, 2) AS varchar), 'float',
+        |  CAST(NULL AS bigint), round(l_extendedprice, 2), CAST(NULL AS varchar)
+        |FROM li
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'et_blob',
+        |  substr(repeat(l_returnflag || l_linestatus, 1500), 1, 2000), 'text',
+        |  CAST(NULL AS bigint), CAST(NULL AS double), CAST(NULL AS varchar)
+        |FROM li
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'edate_ship',
+        |  CAST(l_shipdate AS varchar), 'date',
+        |  CAST(NULL AS bigint), CAST(NULL AS double),
+        |  strftime(l_shipdate, '%Y-%m-%d')
+        |FROM li""".stripMargin,
+    "q_fingerprint" ->
+      """WITH g AS (SELECT doc_id, lower(trim(text)) AS t FROM documents),
+        |gr AS (SELECT doc_id,
+        |  CASE WHEN length(t) < 8 THEN [('0x' || substr(md5(t), 1, 8))::BIGINT]
+        |  ELSE list_transform(range(1, length(t) - 6),
+        |    i -> ('0x' || substr(md5(substr(t, CAST(i AS int), 8)), 1, 8))::BIGINT)
+        |  END AS grams
+        | FROM g),
+        |mn AS (SELECT doc_id,
+        |  list_distinct(CASE WHEN len(grams) < 16 THEN [list_min(grams)]
+        |  ELSE list_transform(range(1, len(grams) - 14),
+        |    j -> list_min(grams[j:j+15])) END) AS fps
+        | FROM gr)
+        |SELECT doc_id, CAST(len(fps) AS int) AS n_fingerprints,
+        | list_min(fps) AS min_fp, list_max(fps) AS max_fp
+        |FROM mn""".stripMargin,
+    "q_text_profile" -> {
+      def inList(stop: Seq[String]) = stop.mkString("('", "', '", "')")
+      def ratio(stop: Seq[String]) =
+        s"CASE WHEN len(w) = 0 THEN 0.0 ELSE len(list_filter(w, x -> x IN ${inList(stop)})) * 1.0 / len(w) END"
+      s"""WITH base AS (
+         | SELECT doc_id, trim(text) AS t,
+         |  list_filter(regexp_split_to_array(lower(text), '[^a-zA-Zäöüßáéíóúñ'']+'),
+         |    x -> length(x) > 0) AS w
+         | FROM documents),
+         |r AS (
+         | SELECT doc_id, t,
+         |  ${ratio(graft.functions.TextAnalysis.EnStop)} AS en,
+         |  ${ratio(graft.functions.TextAnalysis.DeStop)} AS de,
+         |  ${ratio(graft.functions.TextAnalysis.EsStop)} AS es
+         | FROM base)
+         |SELECT doc_id,
+         | CASE WHEN greatest(en, de, es) < 0.02 THEN 'und'
+         |  WHEN en >= de AND en >= es THEN 'en'
+         |  WHEN de >= en AND de >= es THEN 'de'
+         |  ELSE 'es' END AS lang_pred,
+         | CAST(CASE WHEN length(t) = 0 THEN 0 ELSE
+         |  length(regexp_replace(t, '[^!?.,;:]', '', 'g')) * 10000 // length(t)
+         |  END AS bigint) AS punct_bp,
+         | CAST(CASE WHEN length(t) = 0 THEN 0 ELSE
+         |  length(regexp_replace(t, '[^0-9]', '', 'g')) * 10000 // length(t)
+         |  END AS bigint) AS digit_bp,
+         | CAST(CASE WHEN length(t) = 0 THEN 0 ELSE
+         |  length(regexp_replace(t, '[^a-zA-Z]', '', 'g')) * 10000 // length(t)
+         |  END AS bigint) AS alpha_bp
+         |FROM r""".stripMargin
+    },
+    "q_simhash_pairs" ->
+      """WITH toks AS (
+        | SELECT doc_id,
+        |  list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+        |    x -> length(x) > 0) AS tk
+        | FROM documents),
+        |hl AS (SELECT doc_id,
+        |  list_transform(tk, s -> ('0x' || substr(md5(s), 1, 8))::BIGINT) AS hs
+        | FROM toks),
+        |sk AS (SELECT doc_id, CAST(list_sum(list_transform(range(0, 32), b ->
+        |   CASE WHEN 2 * len(list_filter(hs,
+        |       h -> CAST(floor(h / power(2, b)) AS BIGINT) % 2 = 1)) > len(hs)
+        |   THEN CAST(floor(power(2, b)) AS BIGINT) ELSE 0 END)) AS BIGINT) AS sketch
+        | FROM hl),
+        |banded AS (SELECT doc_id, sketch, c AS chunk,
+        |   CAST(floor(sketch / power(2, c * 8)) AS BIGINT) % 256 AS ckey
+        | FROM sk CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS c)),
+        |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+        |   a.sketch AS sa, b.sketch AS sb
+        | FROM banded a JOIN banded b
+        |  ON a.chunk = b.chunk AND a.ckey = b.ckey AND a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS int) AS hamming
+        |FROM pairs WHERE bit_count(xor(sa, sb)) <= 3""".stripMargin,
     "q_cosine_topk" ->
       """SELECT query_id, neighbor_id, round(cosine, 4) AS cosine, rank FROM (
         | SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

@@ -31,13 +31,14 @@ object TextAnalysis {
       .otherwise(size(filter(pieces, p => length(p) > 0)))
   }
 
-  private val EnStop = Seq("the", "a", "an", "and", "or", "of", "to", "in",
+  // public: the oracle SQL is generated from these same lists
+  val EnStop = Seq("the", "a", "an", "and", "or", "of", "to", "in",
     "is", "are", "was", "were", "it", "that", "this", "with", "for", "on",
     "as", "at", "be", "by", "from", "not", "but")
-  private val DeStop = Seq("der", "die", "das", "und", "oder", "von", "zu",
+  val DeStop = Seq("der", "die", "das", "und", "oder", "von", "zu",
     "im", "ist", "sind", "war", "es", "dass", "mit", "für", "auf", "als",
     "ein", "eine", "nicht", "aber", "auch", "sich", "den")
-  private val EsStop = Seq("el", "la", "los", "las", "y", "o", "de", "a",
+  val EsStop = Seq("el", "la", "los", "las", "y", "o", "de", "a",
     "en", "es", "son", "era", "que", "este", "con", "para", "como", "por",
     "un", "una", "no", "pero", "se", "del")
 
@@ -90,6 +91,35 @@ object TextAnalysis {
       (lengthScore * 0.3 + alphaRatio * 0.3 + stopScore * 0.2 +
         wordLenScore * lit(0.2)) * punctPenalty,
       lit(0.0)), lit(1.0)), 4)
+  }
+
+  /** Cross-engine 32-bit hash: first 8 hex digits of md5, as a long.
+    * Deterministic and expressible identically in ANSI-ish SQL
+    * (DuckDB: `('0x' || substr(md5(s),1,8))::BIGINT`) — the primitive
+    * behind every oracle-checkable sketch below. Pure Catalyst.
+    */
+  def portableHash(s: Column): Column =
+    conv(substring(md5(s), 1, 8), 16, 10).cast("long")
+
+  /** Winnow-min fingerprint set over character `k`-grams, PURE
+    * CATALYST (codegen'd, no UDF): hash every k-gram with
+    * [[portableHash]], take the min of each sliding `w`-window, return
+    * the distinct selected hashes. Any total order works for
+    * winnowing; this one is SQL-portable, so the whole operator is
+    * oracle-checkable. Short texts (< k chars) fingerprint as the
+    * single whole-text hash; < w grams as the single global min.
+    */
+  def charGramFingerprints(text: Column, k: Int = 8, w: Int = 16): Column = {
+    val t = lower(trim(text))
+    val n = length(t)
+    val grams = when(n < k, array(portableHash(t)))
+      .otherwise(transform(sequence(lit(1), n - (k - 1)),
+        i => portableHash(substr(t, i, lit(k)))))
+    val m = size(grams)
+    val minima = when(m < w, array(array_min(grams)))
+      .otherwise(transform(sequence(lit(1), m - (w - 1)),
+        j => array_min(slice(grams, j, lit(w)))))
+    array_distinct(minima)
   }
 
   /** Winnowing document fingerprint: rolling xxhash64 over `k`-token

@@ -213,6 +213,66 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
   }
 
+  /** SQL-portable SimHash sketch, PURE CATALYST: per-token 32-bit
+    * [[graft.functions.TextAnalysis.portableHash]] votes on each bit
+    * (majority wins). Bit extraction is power-of-two arithmetic
+    * (exact in doubles for 32-bit values) so DuckDB states the
+    * identical computation — the oracle checks the whole sketch.
+    */
+  /** Per-token portable hashes of a text column. */
+  def portableTokenHashes(text: Column): Column =
+    transform(filter(split(lower(text), "\\W+"), t => length(t) > 0),
+      t => graft.functions.TextAnalysis.portableHash(t))
+
+  /** Majority-vote sketch from a token-hash array column (keep the
+    * hash array in its own projection so it evaluates once per row,
+    * not once per bit).
+    */
+  def sketchFromHashes(hs: Column, bits: Int = 32): Column =
+    aggregate(
+      transform(sequence(lit(0), lit(bits - 1)), b =>
+        when(
+          size(filter(hs, h =>
+            pmod(floor(h / pow(lit(2.0), b)).cast("long"), lit(2L)) === 1L)) * 2
+            > size(hs),
+          floor(pow(lit(2.0), b)).cast("long")).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc + x)
+
+  def simhashPortable(text: Column, bits: Int = 32): Column =
+    sketchFromHashes(portableTokenHashes(text), bits)
+
+  /** SimHash near-dup pairs over the PORTABLE 32-bit sketch — same
+    * pigeonhole band join as [[simhashPairs]] (chunks = maxDist+1,
+    * candidates only from shared-chunk buckets, never all-pairs), but
+    * every step is a built-in expression, so a SQL oracle can verify
+    * end to end. The 64-bit xxhash variant remains the throughput
+    * path; this one is the verification-grade twin.
+    */
+  def simhashPairsPortable(df: DataFrame, idCol: String, textCol: String,
+                           maxDist: Int = 3, bits: Int = 32): DataFrame = {
+    val chunks = maxDist + 1
+    val bitsPer = bits / chunks
+    val sketched = df
+      .select(col(idCol).as("doc_id_"), portableTokenHashes(col(textCol)).as("hs"))
+      .select(col("doc_id_"), sketchFromHashes(col("hs"), bits).as("sketch"))
+    val banded = sketched
+      .select(col("doc_id_"), col("sketch"),
+        explode(sequence(lit(0), lit(chunks - 1))).as("chunk"))
+      .withColumn("ckey",
+        pmod(floor(col("sketch") / pow(lit(2.0), col("chunk") * bitsPer)).cast("long"),
+          lit(1L << bitsPer)))
+    val left = banded.select(col("chunk"), col("ckey"),
+      col("doc_id_").as("id_a"), col("sketch").as("sk_a"))
+    val right = banded.select(col("chunk"), col("ckey"),
+      col("doc_id_").as("id_b"), col("sketch").as("sk_b"))
+    left.join(right, Seq("chunk", "ckey"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sk_a", "sk_b").distinct()
+      .withColumn("hamming", bit_count(col("sk_a").bitwiseXOR(col("sk_b"))))
+      .filter(col("hamming") <= maxDist)
+      .select("id_a", "id_b", "hamming")
+  }
+
   // ---------- exact n-gram jaccard ----------
 
   /** Exact n-gram Jaccard similarity for candidate pairs — the

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -236,6 +236,76 @@ object QueryCatalog {
         coalesce(get_json_object(col("props"), "$.missing"), lit("fallback"))
           .as("cfg_missing"))
 
+  /** P3 crawl-frequency gate (reference taskmanager.py:338-361): an
+    * instance is schedulable only when now − last_crawl ≥ frequency.
+    * last_crawl = o_orderdate, "now" pinned, frequency derived.
+    */
+  def qCrawlFrequencyGate(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .withColumn("frequency_days", ((col("o_orderkey") % 5 + 1) * 100).cast("int"))
+      .withColumn("age_days",
+        datediff(lit("1995-06-17").cast("date"), col("o_orderdate")).cast("int"))
+      .filter(col("age_days") >= col("frequency_days"))
+      .select(col("o_orderkey"), col("age_days"), col("frequency_days"))
+
+  /** P4 requeue/deferred retry accounting (reference requeue-self,
+    * baseconnector.py:158-181): bounded attempts + exponential backoff
+    * to the next eligible wave.
+    */
+  def qRequeueBackoff(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .withColumn("attempts", (col("event_id") % 4).cast("int"))
+      .withColumn("wave", (col("event_id") % 10).cast("int"))
+      .withColumn("retryable", col("attempts") < 3)
+      .select(col("event_id"), col("attempts"), col("retryable"),
+        when(col("attempts") < 3,
+          col("wave") + when(col("attempts") === 0, 1)
+            .when(col("attempts") === 1, 2).otherwise(4))
+          .otherwise(lit(-1)).cast("int").as("next_eligible_wave"))
+
+  /** D2-full hierarchical session-info over a derived (source, doc)
+    * tree: check (exists/deleted ⇒ skip) and update (hash-gated
+    * `updated`) through the real [[SessionInfo]] operator; the oracle
+    * states the same joins in SQL.
+    */
+  def qSessionSkip(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    def pathOf = array(col("source"), col("doc_id").cast("string"))
+    val state = docs.filter(col("doc_id") % 3 =!= 0)
+      .select(pathOf.as("path"), lit("Doc").as("entity"),
+        md5(col("text")).as("hash"), lit(false).as("deleted"))
+    val incoming = docs
+      .select(col("doc_id"), pathOf.as("path"), lit("Doc").as("entity"),
+        when(col("doc_id") % 7 === 0, md5(concat(col("text"), lit("v2"))))
+          .otherwise(md5(col("text"))).as("hash"))
+    val checked = graft.operators.SessionInfo.check(state, incoming, updateMode = false)
+      .select(col("doc_id"), col("skip"))
+    val flags = graft.operators.SessionInfo.updateFlags(state, incoming)
+      .select(col("doc_id"), col("updated"))
+    checked.join(flags, Seq("doc_id"))
+  }
+
+  /** O9/S8 EAV dynamic entities through the STORE path: build the
+    * entities map, normalize it for storage (prefix typing +
+    * 2000-char text truncation, [[graft.operators.PostStore.eavStoreMap]]),
+    * read back typed ([[graft.operators.PostStore.eavExplode]]).
+    */
+  def qEavStore(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem").filter(col("l_orderkey") <= 50)
+      .withColumn("entities", graft.operators.PostStore.eavStoreMap(
+        map(
+          lit("ei_qty"), col("l_quantity").cast("int").cast("string"),
+          lit("ef_price"), round(col("l_extendedprice"), 2).cast("string"),
+          lit("et_blob"), repeat(concat(col("l_returnflag"), col("l_linestatus")), 1500),
+          lit("edate_ship"), col("l_shipdate").cast("string"))))
+      .select(col("l_orderkey"), col("l_linenumber"), col("entities"))
+    graft.operators.PostStore.eavExplode(li, "entities")
+      .select(col("l_orderkey"), col("l_linenumber"), col("field_key"),
+        col("field_value"), col("field_type"), col("int_value"),
+        col("float_value"),
+        date_format(col("date_value"), "yyyy-MM-dd").as("date_str"))
+  }
+
   // ---------- crawl scalar ops over synthesized columns (SURVEY §2.2) ----------
 
   /** O1 URL canonicalization, oracle-checkable: messy synthesized URL →
@@ -321,15 +391,26 @@ object QueryCatalog {
           .as("alpha_bp"))
   }
 
-  /** Full quality heuristic + language ID (rows-only check — the
-    * heuristics are pinned by unit tests instead).
+  /** Text profile, fully oracle-checkable: language ID (stopword-ratio
+    * argmax — the same lists generate the oracle SQL) plus integer-
+    * basis-point composition ratios (integer division can't flip a
+    * hash on a float tie the way round() can). The float quality blend
+    * and the lookaround-regex subword count live in [[qQualityScore]]
+    * and unit tests (RE2-based oracles can't express lookarounds).
     */
-  def qTextProfile(spark: SparkSession, dir: String): DataFrame =
+  def qTextProfile(spark: SparkSession, dir: String): DataFrame = {
+    val txt = trim(col("text"))
+    val chars = length(txt).cast("long")
+    def bp(cleaned: Column): Column =
+      when(chars === 0, lit(0L))
+        .otherwise(floor((cleaned * 10000L) / chars).cast("long"))
     t(spark, dir, "documents")
       .select(col("doc_id"),
-        TextAnalysis.qualityScore(col("text")).as("quality"),
         TextAnalysis.langId(col("text")).as("lang_pred"),
-        TextAnalysis.subwordCount(col("text")).as("n_subwords"))
+        bp(length(regexp_replace(txt, "[^!?.,;:]", "")).cast("long")).as("punct_bp"),
+        bp(length(regexp_replace(txt, "[^0-9]", "")).cast("long")).as("digit_bp"),
+        bp(length(regexp_replace(txt, "[^a-zA-Z]", "")).cast("long")).as("alpha_bp"))
+  }
 
   def qStopwordRatio(spark: SparkSession, dir: String): DataFrame = {
     val stops = Seq("the", "a", "and", "of", "to", "in")
@@ -341,12 +422,22 @@ object QueryCatalog {
             size(w).cast("double")), 4).as("stop_ratio"))
   }
 
-  def qFingerprint(spark: SparkSession, dir: String): DataFrame =
+  /** Winnow-min fingerprint summary, oracle-checkable end to end:
+    * char-8-gram portable hashes, window-16 minima, distinct set —
+    * pure Catalyst ([[TextAnalysis.charGramFingerprints]]); the oracle
+    * states the identical computation in SQL. (The token-level
+    * xxhash winnowing UDF remains for throughput, pinned by its
+    * overlap unit tests.)
+    */
+  def qFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val fps = TextAnalysis.charGramFingerprints(col("text"), k = 8, w = 16)
     t(spark, dir, "documents")
+      .select(col("doc_id"), fps.as("fps"))
       .select(col("doc_id"),
-        size(TextAnalysis.fingerprintUdf()(col("text"))).as("n_fingerprints"),
-        xxhash64(concat_ws(",",
-          TextAnalysis.fingerprintUdf()(col("text")))).as("fp_hash"))
+        size(col("fps")).as("n_fingerprints"),
+        array_min(col("fps")).as("min_fp"),
+        array_max(col("fps")).as("max_fp"))
+  }
 
   // ---------- dedup family ----------
 
@@ -370,8 +461,13 @@ object QueryCatalog {
     Dedup.minhashDedup(t(spark, dir, "documents"), "doc_id", "text", threshold = 0.5)
       .groupBy().agg(count(lit(1)).as("n_kept"))
 
+  /** Portable-sketch SimHash pairs (pure Catalyst, full SQL oracle);
+    * the 64-bit xxhash variant stays unit-test-pinned as the
+    * throughput path.
+    */
   def qSimhashPairs(spark: SparkSession, dir: String): DataFrame =
-    Dedup.simhashPairs(t(spark, dir, "documents"), "doc_id", "text", maxDist = 6)
+    Dedup.simhashPairsPortable(t(spark, dir, "documents"), "doc_id", "text",
+      maxDist = 3, bits = 32)
 
   /** Exact 1-gram Jaccard between consecutive doc ids — oracle-checkable
     * set algebra.

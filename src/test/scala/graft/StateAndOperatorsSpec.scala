@@ -146,4 +146,50 @@ class StateAndOperatorsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet
     assert(got === Set((2L, "CHANGED"), (3L, "ccc")))
   }
+
+  test("poststore: append-mode versioned saves resolve to the eager SCD-2 content") {
+    import graft.operators.PostStore
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-pvs-").toString
+    val eagerT = SnapshotTable(spark, root, "eager")
+    val appendT = SnapshotTable(spark, root, "append")
+    val batches = Seq(
+      Seq(("a", "v1"), ("b", "v1")),
+      Seq(("a", "v2")),
+      Seq(("a", "v3"), ("c", "v1")))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      val df = b.toDF("key", "data")
+      PostStore.save(spark, eagerT, df, "key", PostStore.SaveMode.Versioned, wave = i + 1)
+      PostStore.saveVersionedAppend(appendT, df, "key", wave = i + 1)
+    }
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.select("key", "data", "version_number", "is_latest")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getBoolean(3)))
+        .toSet
+    assert(snap(PostStore.resolveVersions(appendT, "key").get) === snap(eagerT.read().get))
+    // and the append table never rewrote history: one segment per save
+    assert(appendT.currentManifest().get.segments.size === batches.size)
+  }
+
+  test("poststore EAV: prefix typing, 2000-char truncation, typed casts") {
+    import graft.operators.PostStore
+    import spark.implicits._
+    val df = Seq((1L, Map(
+      "ei_count" -> "42",
+      "ef_score" -> "3.5",
+      "edate_when" -> "2020-05-01",
+      "et_blob" -> ("x" * 3000))))
+      .toDF("id", "raw")
+      .withColumn("entities", PostStore.eavStoreMap(col("raw")))
+      .drop("raw")
+    val rows = PostStore.eavExplode(df, "entities")
+      .collect().map(r => r.getAs[String]("field_key") -> r).toMap
+    assert(rows("ei_count").getAs[String]("field_type") === "integer")
+    assert(rows("ei_count").getAs[Long]("int_value") === 42L)
+    assert(rows("ef_score").getAs[Double]("float_value") === 3.5)
+    assert(rows("edate_when").getAs[java.sql.Date]("date_value").toString === "2020-05-01")
+    assert(rows("et_blob").getAs[String]("field_value").length === 2000)
+    assert(rows("et_blob").getAs[String]("field_type") === "text")
+    assert(rows("ef_score").isNullAt(rows("ef_score").fieldIndex("int_value")))
+  }
 }
