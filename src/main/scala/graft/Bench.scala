@@ -67,9 +67,13 @@ object Bench {
       if (Files.isDirectory(java.nio.file.Paths.get("/dev/shm")))
         java.nio.file.Paths.get("/dev/shm") else java.nio.file.Paths.get("/tmp"),
       s"graft-bench-$label-").toString
+    // the synthetic corpus is one capture per url; pops at this wave
+    // size stay broadcastable (the gated non-broadcast regime is
+    // exercised by tests + the bucketed equivalence spec)
     val runner = new WaveRunner(spark, spark.read.parquet(corpusPath), stateRoot,
       CrawlConfig(maxDepth = 3, defaultMaxPerWave = 1000000, maxWaves = 2,
-        saltTarget = 20000L))
+        saltTarget = 20000L, assumeUniqueUrls = true,
+        broadcastPopRows = ScaleUrls * 2))
     val s = spec
     val step = math.max(1, (s.numUrls / seedsN).toInt)
     runner.initSeeds((0L until s.numUrls by step).map(i =>

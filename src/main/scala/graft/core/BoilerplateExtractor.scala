@@ -62,7 +62,8 @@ object BoilerplateExtractor {
   /** Parse + apply all DOM-level pruning; returns the pruned document. */
   def prunedDom(rawPage: String): HtmlDom.Elem = {
     var page = XmlComment.matcher(rawPage).replaceAll("")
-    val htmlIdx = page.toLowerCase.indexOf("<html")
+    // case-insensitive scan without lowercasing (copying) the page
+    val htmlIdx = HtmlDom.indexOfIgnoreCase(page, "<html", 0)
     if (htmlIdx > 0) page = page.substring(htmlIdx)
     page = ScriptBlock.matcher(page).replaceAll("")
 
@@ -187,14 +188,21 @@ object BoilerplateExtractor {
     * first text of the first `<title>`, entity-decoded; regex fallback;
     * None if absent.
     */
-  def extractTitle(rawPage: String): Option[String] = {
-    val doc = HtmlDom.parse(rawPage)
+  def extractTitle(rawPage: String): Option[String] =
+    titleFromDoc(HtmlDom.parse(rawPage), rawPage)
+
+  private val TitleFallback =
+    Pattern.compile("<title>(.*?)</title>", Pattern.CASE_INSENSITIVE)
+
+  /** Title from an already-parsed RAW document (the wave hot path
+    * parses each page once and shares the DOM between title and link
+    * extraction — identical output to [[extractTitle]]).
+    */
+  def titleFromDoc(doc: HtmlDom.Elem, rawPage: String): Option[String] =
     doc.findFirst(Set("title")).flatMap(_.textNodes.headOption) match {
       case Some(t) => Some(Entities.decode(t.value))
       case None =>
-        val m = Pattern.compile("<title>(.*?)</title>", Pattern.CASE_INSENSITIVE)
-          .matcher(rawPage)
+        val m = TitleFallback.matcher(rawPage)
         if (m.find()) Some(Entities.decode(m.group(1))) else None
     }
-  }
 }

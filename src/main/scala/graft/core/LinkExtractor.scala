@@ -41,6 +41,24 @@ object LinkExtractor {
     }
   }
 
+  /** Outlink URLS ONLY from an already-parsed document — the wave hot
+    * path: identical url set/order to [[extractLinks]] but skips the
+    * per-anchor title rendering (two serialize+strip passes per anchor)
+    * that the frontier never consumes.
+    */
+  def linkUrls(doc: HtmlDom.Elem, pageUrl: String): Seq[String] = {
+    val base: Option[String] = doc.findAll(Set("base"))
+      .flatMap(_.attr("href")).headOption.filter(_.nonEmpty)
+    doc.findAll(Set("a")).flatMap { a =>
+      a.attr("href") match {
+        case Some(href) if href.nonEmpty =>
+          try UrlNormalizer.canonicalize(href.trim, Some(pageUrl), base)
+          catch { case _: Exception => None }
+        case _ => None
+      }
+    }
+  }
+
   /** Anchor title: stripped inner HTML, or None when the whole anchor
     * strips to nothing (htmlconnector.py:220-231).
     */

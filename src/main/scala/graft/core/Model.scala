@@ -110,9 +110,12 @@ object Model {
       defaultCrawlDelayMs: Long = 0L,
       maxWaves: Int = 16,
       bloomFpp: Double = 0.01,
-      /** below this many frontier keys no sketch is built (the exact
-        * anti-join alone is cheaper than two sketch jobs per wave) */
-      bloomMinFrontier: Long = 200000L,
+      /** below this many frontier keys no sketch is built: measured on
+        * this hardware, one sketch build costs ~10-30 s while an exact
+        * keys-only anti-join at 10^6-10^7 rows costs ~1-2 s — the
+        * sketch only pays past tens of millions of keys (where the
+        * anti-join's shuffled probe side starts to dominate) */
+      bloomMinFrontier: Long = 20000000L,
       /** minimum capacity when the sketch is first built */
       bloomCapacity: Long = 10000000L,
       // a host whose pending mass exceeds this is salted over
@@ -143,6 +146,12 @@ object Model {
         * reuses the bucketing — no shuffle of the html column, ever.
         * 0 keeps the plain scan (fine while pops stay broadcastable). */
       fetchBuckets: Int = 0,
+      /** declare the input table one-capture-per-url (a deduplicated
+        * snapshot rather than a multi-capture archive): skips the
+        * latest-capture dedup in the plain fetch join. Multi-capture
+        * inputs leave this false (default) or use `fetchBuckets`,
+        * whose ingest dedups once up front. */
+      assumeUniqueUrls: Boolean = false,
       /** politeness wave clock: with a per-host crawl delay d (robots
         * Crawl-delay or HostPolicy), at most waveDurationMs/d URLs of
         * that host are schedulable per wave; 0 disables the delay gate

@@ -94,7 +94,9 @@ final class FetchSource(
     val joined = source
       .join(p, p("urlHash") === col("page_urlHash"), "inner")
     val cols = Seq("url", "host", "depth", "priority", "score", "attempts")
-    if (bucketed) // ingest already deduped to one capture per url
+    if (bucketed || config.assumeUniqueUrls)
+      // bucketed ingest already deduped to one capture per url;
+      // assumeUniqueUrls declares the input a deduplicated snapshot
       joined.select((col("urlHash") +: cols.map(col) :+ col("html")): _*)
     else
       joined

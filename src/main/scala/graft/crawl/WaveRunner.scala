@@ -6,7 +6,7 @@ import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.{Column, DataFrame, Observation, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.core.{BoilerplateExtractor, Hashing, LinkExtractor, UrlNormalizer}
+import graft.core.{BoilerplateExtractor, Hashing, HtmlDom, LinkExtractor, UrlNormalizer}
 import graft.core.Model._
 import graft.operators.{Politeness, SeenSet}
 import graft.state.SnapshotTable
@@ -423,10 +423,13 @@ final class WaveRunner(
         rows.map { case (urlHash, url, host, scoreV, depth, priority, attempts, html) =>
           counter.add(1)
           val s = new String(html, UTF_8)
-          val title = BoilerplateExtractor.extractTitle(s).getOrElse("No Title")
+          // ONE raw parse shared by title + outlinks (text needs its
+          // own parse of the comment/script-stripped page)
+          val rawDoc = HtmlDom.parse(s)
+          val title = BoilerplateExtractor.titleFromDoc(rawDoc, s).getOrElse("No Title")
           val text = BoilerplateExtractor.extractText(s)
-          val links = LinkExtractor.extractLinks(s, url)
-            .map(_.url).filter(_ != url).distinct // self-link drop (F8)
+          val links = LinkExtractor.linkUrls(rawDoc, url)
+            .filter(_ != url).distinct // self-link drop (F8)
           (urlHash, url, host, scoreV, FrontierState.Fetched, title, text,
             Hashing.contentHash(Seq(text, title)), // reference hash rule (O6)
             html.length.toLong, links.toArray, depth, priority, attempts + 1)
@@ -442,23 +445,36 @@ final class WaveRunner(
         typedLit(Array.empty[String]).as("links"), col("depth"), col("priority"),
         (col("attempts") + 1).as("attempts"))
 
-    val failedRows = emptyPage(fetchSource.missing(toFetch), FrontierState.Failed)
-    val processed = (extracted.unionByName(failedRows) +:
-      deferred.map(d => emptyPage(d, FrontierState.Deferred)).toSeq)
-      .reduce(_.unionByName(_))
-
+    // the fetched rows land first; the 404 analog (popped urls with no
+    // page bytes) is then popped MINUS the staged fetched keys — a
+    // budget-bounded keys-only anti-join instead of a SECOND scan of
+    // the pages table per wave
     val procObs = Observation(s"graft-proc-$w")
     timed(s"w$w fetch+extract+stage")(
-      processed.withColumn("wave", lit(w))
+      extracted.withColumn("wave", lit(w))
         .withColumn("nOutlinks", size(col("links")))
         .observe(procObs,
-          count(lit(1)).as("n"),
-          count(when(col("state") === FrontierState.Fetched, 1)).as("fetched"),
+          count(lit(1)).as("fetched"),
           coalesce(sum("htmlBytes"), lit(0L)).as("bytes"))
         .write.mode(SaveMode.Overwrite).parquet(s"$staging/processed"))
-    val scheduled = procObs.get("n").asInstanceOf[Long]
     val fetchedN = procObs.get("fetched").asInstanceOf[Long]
     val bytes = procObs.get("bytes").asInstanceOf[Long]
+
+    val failedRows =
+      if (fetchedN == 0L) emptyPage(toFetch, FrontierState.Failed)
+      else emptyPage(
+        toFetch.join(spark.read.parquet(s"$staging/processed").select("urlHash"),
+          Seq("urlHash"), "left_anti"), FrontierState.Failed)
+    val tail = (failedRows +:
+      deferred.map(d => emptyPage(d, FrontierState.Deferred)).toSeq)
+      .reduce(_.unionByName(_))
+    val tailObs = Observation(s"graft-tail-$w")
+    timed(s"w$w stage-misses")(
+      tail.withColumn("wave", lit(w))
+        .withColumn("nOutlinks", size(col("links")))
+        .observe(tailObs, count(lit(1)).as("n"))
+        .write.mode(SaveMode.Append).parquet(s"$staging/processed"))
+    val scheduled = fetchedN + tailObs.get("n").asInstanceOf[Long]
 
     // ---- frontier expansion (E2) from the staged artifact (resume
     // never re-extracts): explode links, dedup, anti-join ----

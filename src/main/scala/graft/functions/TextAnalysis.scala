@@ -101,25 +101,43 @@ object TextAnalysis {
   def portableHash(s: Column): Column =
     conv(substring(md5(s), 1, 8), 16, 10).cast("long")
 
-  /** Winnow-min fingerprint set over character `k`-grams, PURE
-    * CATALYST (codegen'd, no UDF): hash every k-gram with
-    * [[portableHash]], take the min of each sliding `w`-window, return
-    * the distinct selected hashes. Any total order works for
-    * winnowing; this one is SQL-portable, so the whole operator is
-    * oracle-checkable. Short texts (< k chars) fingerprint as the
-    * single whole-text hash; < w grams as the single global min.
+  /** Winnow-min fingerprint summary over character `k`-grams, stated
+    * RELATIONALLY: posexplode the per-row gram hashes ([[portableHash]]
+    * — SQL-portable, so the whole operator is oracle-checkable), then a
+    * sliding `rowsBetween(0, w-1)` window-min per document, distinct.
+    * Short texts (< k chars) fingerprint as the single whole-text hash;
+    * < w grams as the single global min (a truncated first window).
+    *
+    * Why not a nested array expression: a Column that references the
+    * gram array inside a `transform` lambda gets the WHOLE gram
+    * expression inlined per window position after projection collapse
+    * — O(n²) hash evaluations per row (measured: hours at sf0.1). The
+    * explode+window shape evaluates each gram hash exactly once and is
+    * the form that actually scales (window partitions by doc, codegen'd
+    * bounded-frame min).
+    *
+    * Returns (idCol, n_fingerprints, min_fp, max_fp).
     */
-  def charGramFingerprints(text: Column, k: Int = 8, w: Int = 16): Column = {
-    val t = lower(trim(text))
+  def winnowFingerprints(df: org.apache.spark.sql.DataFrame, idCol: String,
+                         textCol: String, k: Int = 8, w: Int = 16)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = lower(trim(col(textCol)))
     val n = length(t)
     val grams = when(n < k, array(portableHash(t)))
       .otherwise(transform(sequence(lit(1), n - (k - 1)),
         i => portableHash(substr(t, i, lit(k)))))
-    val m = size(grams)
-    val minima = when(m < w, array(array_min(grams)))
-      .otherwise(transform(sequence(lit(1), m - (w - 1)),
-        j => array_min(slice(grams, j, lit(w)))))
-    array_distinct(minima)
+    val slide = Window.partitionBy(idCol).orderBy("pos")
+      .rowsBetween(Window.currentRow, w - 1)
+    val whole = Window.partitionBy(idCol)
+    df.select(col(idCol), posexplode(grams).as(Seq("pos", "gh")))
+      .withColumn("wmin", min(col("gh")).over(slide))
+      .withColumn("m", count(lit(1)).over(whole))
+      .filter(col("pos") <= greatest(col("m") - w, lit(0)))
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("wmin")).cast("int").as("n_fingerprints"),
+        min(col("wmin")).as("min_fp"),
+        max(col("wmin")).as("max_fp"))
   }
 
   /** Winnowing document fingerprint: rolling xxhash64 over `k`-token

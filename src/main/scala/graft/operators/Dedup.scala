@@ -224,22 +224,25 @@ object Dedup {
     transform(filter(split(lower(text), "\\W+"), t => length(t) > 0),
       t => graft.functions.TextAnalysis.portableHash(t))
 
-  /** Majority-vote sketch from a token-hash array column (keep the
-    * hash array in its own projection so it evaluates once per row,
-    * not once per bit).
+  /** Majority-vote portable sketches, stated RELATIONALLY: explode the
+    * token hashes and aggregate `bits` signed bit-votes per document in
+    * ONE hash aggregate (a lambda formulation would re-evaluate the
+    * token-hash array per bit after projection collapse — 32× the
+    * hashing). Token-less documents sketch to 0 (explode_outer keeps
+    * them; null votes never win a bit). Returns (doc_id_, sketch).
     */
-  def sketchFromHashes(hs: Column, bits: Int = 32): Column =
-    aggregate(
-      transform(sequence(lit(0), lit(bits - 1)), b =>
-        when(
-          size(filter(hs, h =>
-            pmod(floor(h / pow(lit(2.0), b)).cast("long"), lit(2L)) === 1L)) * 2
-            > size(hs),
-          floor(pow(lit(2.0), b)).cast("long")).otherwise(lit(0L))),
-      lit(0L), (acc, x) => acc + x)
-
-  def simhashPortable(text: Column, bits: Int = 32): Column =
-    sketchFromHashes(portableTokenHashes(text), bits)
+  private def portableSketches(df: DataFrame, idCol: String, textCol: String,
+                               bits: Int): DataFrame = {
+    val hrows = df.select(col(idCol).as("doc_id_"),
+      explode_outer(portableTokenHashes(col(textCol))).as("h"))
+    val voteCols = (0 until bits).map { b =>
+      sum(shiftright(col("h"), b).bitwiseAND(lit(1L)) * 2 - 1).as(s"v$b")
+    }
+    val sketch = (0 until bits).map(b =>
+      when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
+    hrows.groupBy("doc_id_").agg(voteCols.head, voteCols.tail: _*)
+      .select(col("doc_id_"), sketch.as("sketch"))
+  }
 
   /** SimHash near-dup pairs over the PORTABLE 32-bit sketch — same
     * pigeonhole band join as [[simhashPairs]] (chunks = maxDist+1,
@@ -252,9 +255,7 @@ object Dedup {
                            maxDist: Int = 3, bits: Int = 32): DataFrame = {
     val chunks = maxDist + 1
     val bitsPer = bits / chunks
-    val sketched = df
-      .select(col(idCol).as("doc_id_"), portableTokenHashes(col(textCol)).as("hs"))
-      .select(col("doc_id_"), sketchFromHashes(col("hs"), bits).as("sketch"))
+    val sketched = portableSketches(df, idCol, textCol, bits)
     val banded = sketched
       .select(col("doc_id_"), col("sketch"),
         explode(sequence(lit(0), lit(chunks - 1))).as("chunk"))

@@ -44,6 +44,20 @@ object LiveFetch {
   def noTransport(url: String): FetchResult =
     FetchResult(url, 599, "", Array.emptyByteArray, 1)
 
+  /** Statuses that mean "try again a later wave" rather than
+    * "terminally absent": rate-limit/cap deferrals plus retryables that
+    * survived the in-task retry loop. These are the rows a live
+    * deployment feeds back into the engine's Deferred path
+    * (WaveRunner re-enqueues them after `retryBackoffWaves` with
+    * bounded `maxFetchAttempts` — the reference's requeue-self,
+    * baseconnector.py:158-181).
+    */
+  def deferredUrls(results: Dataset[FetchResult]): DataFrame =
+    results.toDF()
+      .filter(col("status") === 429 ||
+        col("status").isin(RetryableStatuses.toSeq.map(Integer.valueOf): _*))
+      .select(col("url"))
+
   /** Fetch a frontier slice. Input columns: url, host. Politeness:
     * rows are repartitioned by (host, salt) so one host's URLs land in
     * few partitions where the delay is enforceable locally; within a

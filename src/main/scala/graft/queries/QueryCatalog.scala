@@ -429,15 +429,9 @@ object QueryCatalog {
     * xxhash winnowing UDF remains for throughput, pinned by its
     * overlap unit tests.)
     */
-  def qFingerprint(spark: SparkSession, dir: String): DataFrame = {
-    val fps = TextAnalysis.charGramFingerprints(col("text"), k = 8, w = 16)
-    t(spark, dir, "documents")
-      .select(col("doc_id"), fps.as("fps"))
-      .select(col("doc_id"),
-        size(col("fps")).as("n_fingerprints"),
-        array_min(col("fps")).as("min_fp"),
-        array_max(col("fps")).as("max_fp"))
-  }
+  def qFingerprint(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.winnowFingerprints(t(spark, dir, "documents"),
+      "doc_id", "text", k = 8, w = 16)
 
   // ---------- dedup family ----------
 

@@ -45,7 +45,8 @@ object ScaleProbe {
       s"graft-probe-$label-").toString
     val runner = new WaveRunner(spark, spark.read.parquet(corpusPath), stateRoot,
       CrawlConfig(maxDepth = 3, defaultMaxPerWave = 1000000, maxWaves = 2,
-        saltTarget = 20000L))
+        saltTarget = 20000L, assumeUniqueUrls = true,
+        broadcastPopRows = spec.numUrls * 2))
     val step = math.max(1, (spec.numUrls / seedsN).toInt)
     runner.initSeeds((0L until spec.numUrls by step).map(i =>
       SyntheticCorpus.urlFor(i, spec) -> 1))

@@ -150,6 +150,28 @@ class RetryAndRecrawlSpec extends AnyFunSuite {
     assert(perWave.forall(_ <= 5), s"delay cap violated: ${perWave.toSeq}")
   }
 
+  test("metrics backfill: a crash after the frontier flip still records the wave") {
+    val root = tmp("graft-metricsbf-")
+    val r1 = new WaveRunner(spark, corpus, root,
+      CrawlConfig(maxDepth = 1, defaultMaxPerWave = 10, maxWaves = 2))
+    r1.initSeeds(Seq(seedUrl -> 1))
+    assert(r1.runWave(1))
+    // simulate a crash that landed between the frontier flip and the
+    // metrics commit: wipe the metrics table
+    import scala.reflect.io.Directory
+    new Directory(new java.io.File(s"$root/metrics")).deleteRecursively()
+    // a restarted job re-enters wave 1, sees it committed, and
+    // backfills the metrics row from the staged counts
+    val r2 = new WaveRunner(spark, corpus, root,
+      CrawlConfig(maxDepth = 1, defaultMaxPerWave = 10, maxWaves = 2))
+    assert(r2.runWave(1))
+    val m = r2.metrics().filter(col("wave") === 1)
+      .select("scheduled").collect()
+    assert(m.length === 1 && m.head.getLong(0) === 1L,
+      "wave-1 metrics must be backfilled on resume")
+    assert(r2.extractCounter.value === 0, "backfill must not re-extract")
+  }
+
   test("bucketed co-partitioned fetch join ≡ plain broadcast join") {
     val cfgPlain = CrawlConfig(maxDepth = 2, defaultMaxPerWave = 15, maxWaves = 3)
     val plain = new WaveRunner(spark, corpus, tmp("graft-plainj-"), cfgPlain)
