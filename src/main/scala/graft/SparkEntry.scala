@@ -89,6 +89,44 @@ object SparkEntry {
     // multimodal plumbing
     "q_media_features" -> (qMediaFeatures(_, _)))
 
+  /** Shared CTE prefix for the portable-MinHash oracles: the full
+    * shingle → signature → band → candidate-pair → estimate pipeline
+    * stated in SQL, ending in a `pairs_est` relation the final select
+    * consumes (identical constants to Dedup.minhashPairsPortable:
+    * k=3, 24 hashes, 8 bands).
+    */
+  private def minhashPairsOracle(finalSelect: String): String =
+    s"""WITH toks AS (
+       | SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+       |   x -> length(x) > 0) AS tk
+       | FROM documents),
+       |sh AS (
+       | SELECT doc_id, unnest(CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+       |  ELSE list_distinct(list_transform(range(1, len(tk) - 1),
+       |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) END) AS s
+       | FROM toks),
+       |sigrows AS (
+       | SELECT doc_id, j,
+       |  min(('0x' || substr(md5(CAST(j AS varchar) || ':' || s), 1, 8))::BIGINT) AS mh
+       | FROM sh CROSS JOIN (SELECT unnest(range(0, 24)) AS j)
+       | GROUP BY doc_id, j),
+       |sigs AS (
+       | SELECT doc_id, list(mh ORDER BY j) AS sig FROM sigrows GROUP BY doc_id),
+       |banded AS (
+       | SELECT doc_id, sig, b,
+       |  md5(array_to_string(sig[b*3+1:b*3+3], ',')) AS bkey
+       | FROM sigs CROSS JOIN (SELECT unnest(range(0, 8)) AS b)),
+       |pairs_est AS (
+       | SELECT id_a, id_b,
+       |  round(CAST(list_sum(list_transform(range(1, 25),
+       |    i -> CASE WHEN sa[i] = sb[i] THEN 1 ELSE 0 END)) AS double) / 24, 4)
+       |   AS est_jaccard
+       | FROM (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    a.sig AS sa, b.sig AS sb
+       |   FROM banded a JOIN banded b
+       |    ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id))
+       |$finalSelect""".stripMargin
+
   /** DuckDB oracles (ANSI SQL over the same parquet tables). Keys
     * absent here get the driver's weaker rows-only check — that set is
     * exactly the operators whose semantics live in engine code (LSH
@@ -370,6 +408,13 @@ object SparkEntry {
          |  END AS bigint) AS alpha_bp
          |FROM r""".stripMargin
     },
+    "q_minhash_pairs" -> minhashPairsOracle(
+      """SELECT id_a, id_b, est_jaccard FROM pairs_est
+        |WHERE est_jaccard >= 0.5""".stripMargin),
+    "q_minhash_dedup" -> minhashPairsOracle(
+      """SELECT CAST(count(*) AS bigint) AS n_kept FROM documents
+        |WHERE doc_id NOT IN
+        |  (SELECT id_b FROM pairs_est WHERE est_jaccard >= 0.5)""".stripMargin),
     "q_simhash_pairs" ->
       """WITH toks AS (
         | SELECT doc_id,

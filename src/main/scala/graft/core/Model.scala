@@ -152,6 +152,10 @@ object Model {
         * inputs leave this false (default) or use `fetchBuckets`,
         * whose ingest dedups once up front. */
       assumeUniqueUrls: Boolean = false,
+      /** > 0: merge the frontier/processed logs' segments into one
+        * every N waves (same rows, atomic flip) so a 10^4-wave crawl
+        * never reads 10^4 parquet directories per scan; 0 disables. */
+      compactEveryWaves: Int = 0,
       /** politeness wave clock: with a per-host crawl delay d (robots
         * Crawl-delay or HostPolicy), at most waveDurationMs/d URLs of
         * that host are schedulable per wave; 0 disables the delay gate

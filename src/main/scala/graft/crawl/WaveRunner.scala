@@ -245,6 +245,11 @@ final class WaveRunner(
         popBloom.advance(w, seg.select("urlHash"), counts.map(_.scheduled)))
     }
     commitMetrics(w, staging.toString, (System.nanoTime() - t0) / 1000000L)
+    if (config.compactEveryWaves > 0 && w % config.compactEveryWaves == 0)
+      timed(s"w$w compact") {
+        frontierT.compact()
+        processedT.compact()
+      }
     true
   }
 

@@ -145,16 +145,68 @@ object Dedup {
       .select("id_a", "id_b", "est_jaccard")
   }
 
-  /** Near-dup dedup via MinHash: connected components would be the full
-    * solution; the scalable per-wave approximation used here removes
-    * every doc that pairs with a lower id (union-find-free, one pass,
-    * deterministic; iterate to a fixpoint for full transitivity).
+  /** Near-dup dedup via MinHash: the scalable per-wave approximation —
+    * removes every doc that pairs with a lower id (union-find-free, one
+    * pass, deterministic). [[minhashDedupTransitive]] is the full
+    * connected-components variant.
     */
   def minhashDedup(df: DataFrame, idCol: String, textCol: String,
                    threshold: Double = 0.7): DataFrame = {
     val pairs = minhashPairs(df, idCol, textCol, threshold = threshold)
     val losers = pairs.select(col("id_b").as(idCol)).distinct()
     df.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** Minimum reachable label per vertex over an undirected pair graph —
+    * iterative min propagation to a fixpoint (the label-propagation
+    * connected-components kernel: each round every vertex adopts the
+    * min of its own and its neighbors' labels, so the component min
+    * floods outward; rounds ≤ graph diameter, each round one equi-join
+    * + one aggregate — no driver-side graph state). Returns
+    * (v, label). At 10^10 vertices, swap persist for localCheckpoint
+    * to truncate lineage; the join shape is unchanged.
+    */
+  def connectedMinLabels(vertices: DataFrame, pairs: DataFrame,
+                         maxIterations: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a"), col("id_b")).unionByName(
+      pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b"))).persist()
+    var labels = vertices.select(col(vertices.columns.head).as("v"))
+      .withColumn("label", col("v")).persist()
+    var iter = 0
+    var converged = edges.isEmpty
+    while (!converged && iter < maxIterations) {
+      val neighborMin = edges
+        .join(labels, edges("id_b") === labels("v"))
+        .groupBy(col("id_a").as("nv")).agg(min(col("label")).as("nmin"))
+      val next = labels
+        .join(neighborMin, labels("v") === col("nv"), "left")
+        .select(col("v"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .persist()
+      val changed = next
+        .join(labels.select(col("v"), col("label").as("prev")), Seq("v"))
+        .filter(col("label") =!= col("prev")).limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0L
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Fully transitive near-dup dedup: keep exactly one doc (the min id)
+    * per CONNECTED COMPONENT of the minhash pair graph. The survivor
+    * set is always a subset of [[minhashDedup]]'s (chains collapse).
+    */
+  def minhashDedupTransitive(df: DataFrame, idCol: String, textCol: String,
+                             threshold: Double = 0.7,
+                             maxIterations: Int = 20): DataFrame = {
+    val pairs = minhashPairs(df, idCol, textCol, threshold = threshold)
+      .select("id_a", "id_b")
+    val labels = connectedMinLabels(df.select(col(idCol)), pairs, maxIterations)
+    val keep = labels.filter(col("label") === col("v")).select(col("v").as(idCol))
+    df.join(keep, Seq(idCol), "left_semi")
   }
 
   // ---------- simhash ----------
@@ -211,6 +263,77 @@ object Dedup {
       .withColumn("hamming", hamming(col("sk_a"), col("sk_b")))
       .filter(col("hamming") <= maxDist)
       .select("id_a", "id_b", "hamming")
+  }
+
+  /** SQL-portable MinHash+LSH pairs, PURE CATALYST and stated
+    * relationally (no per-element lambda touches another column — see
+    * the O(n²) re-inlining hazard documented on
+    * [[graft.functions.TextAnalysis.winnowFingerprints]]):
+    *
+    *  1. tokens → complete word 3-shingles via posexplode + window
+    *     lead (docs with < k tokens shingle as their joined tokens);
+    *  2. signature row (doc, j, min over shingles of
+    *     portableHash(j:shingle)) via one explode + one aggregate;
+    *  3. signatures assembled ordered (sort_array of (j, minhash));
+    *  4. band keys = md5 of each band's signature slice; candidate
+    *     pairs from (band, key) equi-joins — never all-pairs;
+    *  5. est_jaccard = matching signature rows / numHashes.
+    *
+    * Same banding semantics as [[minhashPairs]]; every step is a
+    * built-in expression a DuckDB oracle states identically. The
+    * xxhash permutation variant remains the raw-throughput path.
+    */
+  def minhashPairsPortable(df: DataFrame, idCol: String, textCol: String,
+                           shingleK: Int = 3, numHashes: Int = 24,
+                           bands: Int = 8, threshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    val toks = filter(split(lower(col(textCol)), "\\W+"), t => length(t) > 0)
+    val docsT = df.select(col(idCol).as("doc_id_"), toks.as("tk"))
+
+    val w = Window.partitionBy("doc_id_").orderBy("pos")
+    val leadCols = (1 until shingleK).map(i => lead(col("tok"), i).over(w).as(s"l$i"))
+    val bigShingles = docsT.filter(size(col("tk")) >= shingleK)
+      .select(col("doc_id_"), posexplode(col("tk")).as(Seq("pos", "tok")))
+      .select((col("doc_id_") +: col("tok") +: leadCols): _*)
+      // the window outputs materialize in the projection above; only
+      // complete k-shingles survive
+      .filter(col(s"l${shingleK - 1}").isNotNull)
+      .select(col("doc_id_"), concat_ws(" ",
+        (col("tok") +: (1 until shingleK).map(i => col(s"l$i"))): _*).as("sh"))
+    val smallShingles = docsT.filter(size(col("tk")) < shingleK)
+      .select(col("doc_id_"), concat_ws(" ", col("tk")).as("sh"))
+    val shingles = bigShingles.unionByName(smallShingles).distinct()
+
+    val sigRows = shingles
+      .select(col("doc_id_"), col("sh"),
+        explode(sequence(lit(0), lit(numHashes - 1))).as("j"))
+      .withColumn("h", graft.functions.TextAnalysis.portableHash(
+        concat(col("j").cast("string"), lit(":"), col("sh"))))
+      .groupBy(col("doc_id_"), col("j")).agg(min(col("h")).as("mh"))
+    val sigs = sigRows.groupBy(col("doc_id_"))
+      .agg(transform(sort_array(collect_list(struct(col("j"), col("mh")))),
+        x => x.getField("mh")).as("sig"))
+
+    val banded = sigs
+      .select(col("doc_id_"), col("sig"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .withColumn("bkey",
+        md5(concat_ws(",", slice(col("sig"), col("band") * rowsPerBand + 1,
+          lit(rowsPerBand)).cast("array<string>"))))
+    val left = banded.select(col("band"), col("bkey"),
+      col("doc_id_").as("id_a"), col("sig").as("sig_a"))
+    val right = banded.select(col("band"), col("bkey"),
+      col("doc_id_").as("id_b"), col("sig").as("sig_b"))
+    left.join(right, Seq("band", "bkey"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sig_a", "sig_b").distinct()
+      .withColumn("est_jaccard",
+        round(aggregate(zip_with(col("sig_a"), col("sig_b"),
+            (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") / numHashes, 4))
+      .filter(col("est_jaccard") >= threshold)
+      .select("id_a", "id_b", "est_jaccard")
   }
 
   /** SQL-portable SimHash sketch, PURE CATALYST: per-token 32-bit

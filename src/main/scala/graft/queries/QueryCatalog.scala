@@ -446,14 +446,25 @@ object QueryCatalog {
     Dedup.exactDedup(t(spark, dir, "documents"), "doc_id", "text")
       .select(col("doc_id"))
 
+  /** Portable MinHash+LSH pairs (pure Catalyst, full SQL oracle of the
+    * whole shingle→signature→band→estimate pipeline); the xxhash
+    * permutation variant stays unit-test-pinned as the throughput path.
+    */
   def qMinhashPairs(spark: SparkSession, dir: String): DataFrame =
-    Dedup.minhashPairs(t(spark, dir, "documents"), "doc_id", "text",
-        shingleK = 3, numHashes = 64, bands = 16, threshold = 0.5)
-      .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 4).as("est_jaccard"))
+    Dedup.minhashPairsPortable(t(spark, dir, "documents"), "doc_id", "text",
+      shingleK = 3, numHashes = 24, bands = 8, threshold = 0.5)
 
-  def qMinhashDedup(spark: SparkSession, dir: String): DataFrame =
-    Dedup.minhashDedup(t(spark, dir, "documents"), "doc_id", "text", threshold = 0.5)
+  /** One-pass dedup over the portable pairs (drop every id that pairs
+    * with a lower id) — oracle-checkable end to end.
+    */
+  def qMinhashDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val pairs = Dedup.minhashPairsPortable(docs, "doc_id", "text",
+      shingleK = 3, numHashes = 24, bands = 8, threshold = 0.5)
+    docs.join(pairs.select(col("id_b").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
       .groupBy().agg(count(lit(1)).as("n_kept"))
+  }
 
   /** Portable-sketch SimHash pairs (pure Catalyst, full SQL oracle);
     * the 64-bit xxhash variant stays unit-test-pinned as the

@@ -134,6 +134,23 @@ final class SnapshotTable(spark: SparkSession, root: String, val name: String) {
     next
   }
 
+  /** Merge all live segments into ONE new segment (same rows, same
+    * committed wave) and flip the pointer — bounds the segment count
+    * of long-running append logs (a 10^4-wave crawl would otherwise
+    * read 10^4 parquet directories per scan). Old segments stay until
+    * `vacuum`. Crash-safe like any commit: the flip is atomic and the
+    * wave marker is unchanged, so resume logic is unaffected (the
+    * sketch chain is keyed by per-wave meta files, not segments).
+    */
+  def compact(): Option[Int] =
+    currentManifest().filter(_.segments.size > 1).map { m =>
+      val merged = spark.read.parquet(m.segments.map(v => versionDir(v).toString): _*)
+      val next = m.version + 1
+      merged.write.mode(SaveMode.Overwrite).parquet(versionDir(next).toString)
+      writeManifest(Manifest(next, m.wave, Seq(next), listLineage(versionDir(next))))
+      next
+    }
+
   /** Point the manifest back at an older version (rollback; replace
     * tables only).
     */

@@ -63,6 +63,39 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(kept.contains(7L) && kept.contains(9L) && kept.contains(102L))
   }
 
+  test("portable minhash pairs find planted dups, not unrelated docs") {
+    val pairs = Dedup.minhashPairsPortable(docs, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((7L, 100L)), "exact dup must pair")
+    assert(pairs.contains((9L, 101L)), "near dup must pair")
+    assert(!pairs.exists(p => p._1 == 102L || p._2 == 102L),
+      "unrelated doc must not pair")
+  }
+
+  test("connectedMinLabels: chains flood to the component min, fixpoint") {
+    // components: {1,2,9} (chain 2-9, 9-1), {4,5}, singleton {7}
+    val vertices = Seq(1L, 2L, 4L, 5L, 7L, 9L).toDF("v")
+    val pairs = Seq((2L, 9L), (1L, 9L), (4L, 5L)).toDF("id_a", "id_b")
+    val labels = Dedup.connectedMinLabels(vertices, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels === Map(1L -> 1L, 2L -> 1L, 9L -> 1L, 4L -> 4L, 5L -> 4L, 7L -> 7L))
+    // fixpoint: re-running on the already-labeled graph changes nothing
+    val again = Dedup.connectedMinLabels(vertices, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again === labels)
+  }
+
+  test("transitive dedup keeps one doc per component (subset of one-pass)") {
+    val kept = Dedup.minhashDedupTransitive(docs, "doc_id", "text", threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val onePass = Dedup.minhashDedup(docs, "doc_id", "text", threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept.subsetOf(onePass),
+      s"transitive survivors must be a subset: ${kept -- onePass}")
+    assert(kept.contains(7L) && !kept.contains(100L)) // dup group collapses
+    assert(kept.contains(102L)) // singleton survives
+  }
+
   test("simhash pairs find the near dup within hamming distance") {
     val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 8)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

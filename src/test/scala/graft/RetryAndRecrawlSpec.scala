@@ -172,6 +172,26 @@ class RetryAndRecrawlSpec extends AnyFunSuite {
     assert(r2.extractCounter.value === 0, "backfill must not re-extract")
   }
 
+  test("segment compaction: identical crawl state, bounded segment count") {
+    val cfg = CrawlConfig(maxDepth = 2, defaultMaxPerWave = 15, maxWaves = 4)
+    val plain = new WaveRunner(spark, corpus, tmp("graft-nocompact-"), cfg)
+    plain.initSeeds(Seq(seedUrl -> 1, SyntheticCorpus.urlFor(3, spec) -> 2))
+    plain.run()
+
+    val compacted = new WaveRunner(spark, corpus, tmp("graft-compact-"),
+      cfg.copy(compactEveryWaves = 2))
+    compacted.initSeeds(Seq(seedUrl -> 1, SyntheticCorpus.urlFor(3, spec) -> 2))
+    compacted.run()
+
+    def order(r: WaveRunner) = r.crawlOrder().collect().map(_.toSeq).toSeq
+    assert(order(compacted) === order(plain))
+    assert(compacted.frontierT.read().get.count() === plain.frontierT.read().get.count())
+    val segs = compacted.frontierT.currentManifest().get.segments.size
+    assert(segs <= 3, s"compaction must bound segments, got $segs")
+    // a wave after compaction still appends deltas on top
+    assert(compacted.frontierT.committedWave() === plain.frontierT.committedWave())
+  }
+
   test("bucketed co-partitioned fetch join ≡ plain broadcast join") {
     val cfgPlain = CrawlConfig(maxDepth = 2, defaultMaxPerWave = 15, maxWaves = 3)
     val plain = new WaveRunner(spark, corpus, tmp("graft-plainj-"), cfgPlain)

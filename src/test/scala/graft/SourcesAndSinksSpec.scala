@@ -132,4 +132,26 @@ class SourcesAndSinksSpec extends AnyFunSuite {
     assert(out.count(_.status == 429) > 0) // deferred, not dropped
     assert(out.count(_.status == 200) <= 10) // ≤ cap × partitions touched
   }
+
+  test("live fetch: deferredUrls bridges refusals into the engine's retry path") {
+    val frontier = Seq(
+      ("http://a.test/ok", "a.test"),
+      ("http://a.test/limited", "a.test"),
+      ("http://a.test/flaky", "a.test"),
+      ("http://a.test/gone", "a.test")).toDF("url", "host")
+    val fake: String => LiveFetch.FetchResult = {
+      case u if u.endsWith("/limited") =>
+        LiveFetch.FetchResult(u, 429, "", Array.emptyByteArray, 1)
+      case u if u.endsWith("/flaky") =>
+        LiveFetch.FetchResult(u, 503, "", Array.emptyByteArray, 1) // survives retries
+      case u if u.endsWith("/gone") =>
+        LiveFetch.FetchResult(u, 404, "", Array.emptyByteArray, 1) // terminal
+      case u => LiveFetch.FetchResult(u, 200, "text/html", "x".getBytes, 1)
+    }
+    val results = LiveFetch.fetch(spark, frontier, fetchFn = fake)
+    val deferred = LiveFetch.deferredUrls(results)
+      .collect().map(_.getString(0)).toSet
+    assert(deferred === Set("http://a.test/limited", "http://a.test/flaky"),
+      "rate-limited and exhausted-retryable urls re-enter; 404 stays terminal")
+  }
 }
