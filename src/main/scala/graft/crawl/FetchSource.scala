@@ -106,10 +106,4 @@ final class FetchSource(
         .select((col("urlHash") +: cols.map(c => col(s"r.$c")) :+ col("r.html")): _*)
   }
 
-  /** Popped urls with NO page bytes in the table (the 404 analog) — a
-    * keys-only anti-join (8-byte column shuffle at worst).
-    */
-  def missing(popped: DataFrame): DataFrame =
-    popped.join(source.select(col("page_urlHash")),
-      popped("urlHash") === col("page_urlHash"), "left_anti")
 }

@@ -415,7 +415,12 @@ final class WaveRunner(
     val popped = spark.read.parquet(s"$staging/popped").drop("origin")
     val (toFetch, deferred) = deferInjector match {
       case None => (popped, None)
-      case Some(pred) => (popped.filter(!pred), Some(popped.filter(pred)))
+      case Some(pred) =>
+        // null-safe split: the two branches must PARTITION the popped
+        // set (a predicate evaluating to NULL must not drop the row
+        // from both sides)
+        val deferPred = coalesce(pred, lit(false))
+        (popped.filter(!deferPred), Some(popped.filter(deferPred)))
     }
 
     // ---- fetch + extract: ONE pass over html, ONE staged artifact ----

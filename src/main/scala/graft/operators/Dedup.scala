@@ -167,7 +167,7 @@ object Dedup {
     * to truncate lineage; the join shape is unchanged.
     */
   def connectedMinLabels(vertices: DataFrame, pairs: DataFrame,
-                         maxIterations: Int = 20): DataFrame = {
+                         maxIterations: Int = 50): DataFrame = {
     val edges = pairs.select(col("id_a"), col("id_b")).unionByName(
       pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b"))).persist()
     var labels = vertices.select(col(vertices.columns.head).as("v"))
@@ -192,7 +192,18 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
-    labels
+    // a silent non-fixpoint would violate the one-per-component
+    // contract downstream — fail loudly instead (a component diameter
+    // beyond maxIterations means the caller should raise the bound or
+    // switch to a pointer-doubling formulation)
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedMinLabels did not converge within $maxIterations rounds")
+    // eager checkpoint truncates the iteration lineage, then release
+    // the loop's cache (nothing else holds it)
+    val out = labels.localCheckpoint(true)
+    labels.unpersist()
+    out
   }
 
   /** Fully transitive near-dup dedup: keep exactly one doc (the min id)

@@ -120,6 +120,11 @@ object Politeness {
     * rules column (codegen'd; no driver-side rule map, no UDF):
     * best = max over matching prefixes of (prefixLen, allowBit).
     * The dimension side broadcasts (hosts-with-rules << frontier).
+    *
+    * Path semantics: rules match against the full URI path INCLUDING
+    * `;params` (RFC 9309 matches the percent-encoded path component
+    * verbatim; params are part of it) — pinned by a test with a
+    * param-carrying url.
     */
   def applyRobots(frontier: DataFrame, dim: Option[DataFrame]): DataFrame = {
     dim match {

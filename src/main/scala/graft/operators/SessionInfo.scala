@@ -114,9 +114,9 @@ object SessionInfo {
       .groupBy(col("pathKey"))
       .agg(min(col("path")).as("path"), min(col("entity")).as("entity"),
         min(col("hash")).as("hash"))
-    val deletedKeys = st.filter(col("deleted")).select("pathKey")
+    // new keys are those absent from the state entirely (deleted keys
+    // ARE state keys, so one anti-join covers both cases)
     val incomingNew = res.join(st.select("pathKey"), Seq("pathKey"), "left_anti")
-      .join(deletedKeys, Seq("pathKey"), "left_anti")
       .withColumn("deleted", lit(false))
     val refreshed = st
       .join(res.select(col("pathKey"), col("entity").as("new_entity"),

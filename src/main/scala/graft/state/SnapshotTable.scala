@@ -97,10 +97,17 @@ final class SnapshotTable(spark: SparkSession, root: String, val name: String) {
     val prev = currentManifest()
     val next = prev.map(_.version).getOrElse(0) + 1
     val dir = versionDir(next)
+    val src = Paths.get(srcDir)
     Files.createDirectories(snapshotsDir)
-    if (!Files.exists(dir)) {
-      Files.move(Paths.get(srcDir), dir, StandardCopyOption.ATOMIC_MOVE)
-    }
+    if (Files.exists(src)) {
+      // the staged source still exists, so any directory already at the
+      // target version is an ORPHAN of a crashed unflipped commit (e.g.
+      // a compact() killed between its segment write and manifest flip)
+      // — never adopt it in place of the real delta
+      if (Files.exists(dir)) deleteRecursively(dir)
+      Files.move(src, dir, StandardCopyOption.ATOMIC_MOVE)
+    } else require(Files.exists(dir),
+      s"adoptCommit: neither source $srcDir nor target $dir exists")
     val segments = prev.map(_.segments).getOrElse(Nil) :+ next
     writeManifest(Manifest(next, wave, segments, listLineage(dir)))
     next

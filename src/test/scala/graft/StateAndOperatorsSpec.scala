@@ -147,6 +147,40 @@ class StateAndOperatorsSpec extends AnyFunSuite {
     assert(got === Set((2L, "CHANGED"), (3L, "ccc")))
   }
 
+  test("adoptCommit replaces an orphaned unflipped segment, never adopts it") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-orphan-").toString
+    val t = SnapshotTable(spark, root, "t")
+    t.commit(Seq(1, 2).toDF("x"), wave = 1)
+    // simulate a compact() killed between its segment write and the
+    // manifest flip: an orphan directory at the NEXT version number
+    val orphan = java.nio.file.Paths.get(root, "t", "snapshots", "v00002")
+    Seq(7, 8, 9).toDF("x").write.parquet(orphan.toString)
+    assert(t.currentVersion() === Some(1)) // manifest never flipped
+    // the next wave's adopt must land ITS delta at v2, not the orphan
+    val staged = Files.createTempDirectory("graft-orphan-staged-")
+    Seq(3).toDF("x").write.parquet(staged.resolve("delta").toString)
+    t.adoptCommit(staged.resolve("delta").toString, wave = 2)
+    assert(t.read().get.collect().map(_.getInt(0)).sorted.toSeq === Seq(1, 2, 3))
+    // idempotent resume: source gone, target present -> just re-flips
+    t.rollback(1)
+    t.adoptCommit(staged.resolve("delta").toString, wave = 2)
+    assert(t.read().get.collect().map(_.getInt(0)).sorted.toSeq === Seq(1, 2, 3))
+  }
+
+  test("robots path matching includes ;params (RFC 9309 path component)") {
+    import spark.implicits._
+    import graft.core.Model.RobotsRule
+    val frontier = Seq(
+      ("http://h.test/p;sid=1/x", "h.test"),
+      ("http://h.test/q", "h.test")).toDF("url", "host")
+    val dim = Politeness.rulesDim(spark,
+      Seq(RobotsRule("h.test", allow = false, pathPrefix = "/p;sid")))
+    val kept = Politeness.applyRobots(frontier, dim)
+      .select("url").collect().map(_.getString(0)).toSet
+    assert(kept === Set("http://h.test/q"))
+  }
+
   test("poststore: append-mode versioned saves resolve to the eager SCD-2 content") {
     import graft.operators.PostStore
     import spark.implicits._
