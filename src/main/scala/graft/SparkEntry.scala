@@ -61,6 +61,8 @@ object SparkEntry {
     "q_crawl_frequency_gate" -> (qCrawlFrequencyGate(_, _)),
     "q_requeue_backoff" -> (qRequeueBackoff(_, _)),
     "q_session_skip" -> (qSessionSkip(_, _)),
+    "q_search_metapages" -> (qSearchMetapages(_, _)),
+    "q_pagination_cap" -> (qPaginationCap(_, _)),
     // crawl scalar ops
     "q_url_canonicalize" -> (qUrlCanonicalize(_, _)),
     "q_extract_text" -> (qExtractText(_, _)),
@@ -337,6 +339,24 @@ object SparkEntry {
         |SELECT inc.doc_id, (s.h IS NOT NULL) AS skip,
         |  (s.h IS NULL OR s.h <> inc.h) AS updated
         |FROM inc LEFT JOIN state s ON inc.source = s.source AND inc.did = s.did""".stripMargin,
+    "q_search_metapages" ->
+      """WITH src AS (SELECT DISTINCT source FROM documents),
+        |terms AS (
+        | SELECT source AS instance_id, kw || ' ' || source || ' corpus' AS term
+        | FROM src CROSS JOIN (SELECT unnest(['spark', 'join']) AS kw)
+        | WHERE length(source) % 2 = 0
+        | UNION ALL
+        | SELECT source, source || ' corpus' FROM src WHERE length(source) % 2 <> 0)
+        |SELECT instance_id,
+        | 'http://search.test/search?num=50&q=' || replace(term, ' ', '%20')
+        |  AS search_url
+        |FROM terms""".stripMargin,
+    "q_pagination_cap" ->
+      """SELECT doc_id // 8 AS article_id,
+        | string_agg(text, '' ORDER BY doc_id % 8) AS data,
+        | count(*) AS n_pages
+        |FROM documents WHERE doc_id % 8 <= 5
+        |GROUP BY 1""".stripMargin,
     "q_eav_store" ->
       """WITH li AS (SELECT * FROM lineitem WHERE l_orderkey <= 50)
         |SELECT l_orderkey, l_linenumber, 'ei_qty' AS field_key,

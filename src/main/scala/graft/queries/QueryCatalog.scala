@@ -306,6 +306,34 @@ object QueryCatalog {
         date_format(col("date_value"), "yyyy-MM-dd").as("date_str"))
   }
 
+  /** S5 search-engine metapage source: keyword × queryterm URL
+    * generation through [[graft.operators.SearchSource.metapageUrls]].
+    */
+  def qSearchMetapages(spark: SparkSession, dir: String): DataFrame = {
+    val sources = t(spark, dir, "documents").select(col("source")).distinct()
+    val instances = sources.select(
+      col("source").as("instance_id"),
+      concat(col("source"), lit(" corpus")).as("queryterm"),
+      (length(col("source")) % 2 === 0).as("apply_keywords"),
+      lit(50).as("numresults"))
+    val keywords = sources
+      .select(col("source").as("instance_id"),
+        explode(typedLit(Seq("spark", "shuffle", "join"))).as("keyword"))
+      .withColumn("filter", col("keyword") =!= "shuffle")
+    graft.operators.SearchSource.metapageUrls(instances, keywords)
+  }
+
+  /** K4 pagination cap: at most 5 continuation pages concatenate into
+    * an article's data ([[graft.operators.SearchSource.concatPaginated]]).
+    */
+  def qPaginationCap(spark: SparkSession, dir: String): DataFrame = {
+    val pages = t(spark, dir, "documents")
+      .select(expr("doc_id div 8").as("article_id"),
+        (col("doc_id") % 8).as("page_idx"), col("text"))
+    graft.operators.SearchSource.concatPaginated(
+      pages, "article_id", "page_idx", "text", cap = 5)
+  }
+
   // ---------- crawl scalar ops over synthesized columns (SURVEY §2.2) ----------
 
   /** O1 URL canonicalization, oracle-checkable: messy synthesized URL →
