@@ -129,6 +129,24 @@ object SparkEntry {
        |    ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id))
        |$finalSelect""".stripMargin
 
+  /** Shared CTE for the portable hyperplane-LSH oracles: per-vector
+    * per-table bucket signatures (plane component = md5-derived double,
+    * projection = sequential fold — bit-for-bit the engine's
+    * computation, Similarity.portableSig).
+    */
+  private def lshSigsCte(bits: Int, tables: Int): String =
+    s"""WITH v AS (SELECT vec_id AS id, embedding AS vec, len(embedding) AS d
+       |  FROM embeddings),
+       |sigs AS (
+       | SELECT id, vec, t,
+       |  CAST(list_sum(list_transform(range(0, $bits), p ->
+       |    CASE WHEN list_reduce(list_transform(range(1, d + 1), j ->
+       |        vec[j] * (('0x' || substr(md5('hp:' || CAST(t AS varchar) || ':' ||
+       |          CAST(p AS varchar) || ':' || CAST(j - 1 AS varchar)), 1, 8))::BIGINT
+       |          / 4294967296.0 - 0.5)),
+       |      (a, b) -> a + b) >= 0 THEN 1 << p ELSE 0 END)) AS BIGINT) AS bucket
+       | FROM v CROSS JOIN (SELECT unnest(range(0, $tables)) AS t))""".stripMargin
+
   /** DuckDB oracles (ANSI SQL over the same parquet tables). Keys
     * absent here get the driver's weaker rows-only check — that set is
     * exactly the operators whose semantics live in engine code (LSH
@@ -339,6 +357,42 @@ object SparkEntry {
         |SELECT inc.doc_id, (s.h IS NOT NULL) AS skip,
         |  (s.h IS NULL OR s.h <> inc.h) AS updated
         |FROM inc LEFT JOIN state s ON inc.source = s.source AND inc.did = s.did""".stripMargin,
+    "q_ann_lsh" -> (lshSigsCte(bits = 10, tables = 6) + "," +
+      """
+        |cand AS (
+        | SELECT DISTINCT q.id AS query_id, c.id AS neighbor_id,
+        |  q.vec AS qv, c.vec AS cv
+        | FROM sigs q JOIN sigs c
+        |  ON q.t = c.t AND q.bucket = c.bucket AND q.id <> c.id
+        | WHERE q.id < 30),
+        |scored AS (
+        | SELECT query_id, neighbor_id,
+        |  CASE WHEN list_dot_product(qv, qv) = 0 OR list_dot_product(cv, cv) = 0
+        |   THEN 0.0
+        |   ELSE list_dot_product(qv, cv) /
+        |    (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) END
+        |   AS cosine
+        | FROM cand)
+        |SELECT query_id, neighbor_id, round(cosine, 4) AS cosine, rank FROM (
+        | SELECT *, row_number() OVER (PARTITION BY query_id
+        |   ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM scored)
+        |WHERE rank <= 3""".stripMargin),
+    "q_cosine_dup_pairs" -> (lshSigsCte(bits = 8, tables = 6) + "," +
+      """
+        |cand AS (
+        | SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.vec AS va, b.vec AS vb
+        | FROM sigs a JOIN sigs b
+        |  ON a.t = b.t AND a.bucket = b.bucket AND a.id < b.id),
+        |scored AS (
+        | SELECT id_a, id_b,
+        |  CASE WHEN list_dot_product(va, va) = 0 OR list_dot_product(vb, vb) = 0
+        |   THEN 0.0
+        |   ELSE list_dot_product(va, vb) /
+        |    (sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(vb, vb))) END
+        |   AS cosine
+        | FROM cand)
+        |SELECT id_a, id_b, round(cosine, 4) AS cosine
+        |FROM scored WHERE cosine >= 0.35""".stripMargin),
     "q_search_metapages" ->
       """WITH src AS (SELECT DISTINCT source FROM documents),
         |terms AS (

@@ -110,6 +110,73 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
+  /** SQL-portable hyperplane component: md5-derived double in
+    * [-0.5, 0.5), computed identically by the DuckDB oracle
+    * (`('0x'||substr(md5('hp:t:p:j'),1,8))::BIGINT / 2^32 - 0.5`).
+    */
+  def portablePlaneComponent(table: Int, p: Int, j: Int): Double =
+    java.lang.Long.parseLong(
+      Hashing.md5Hex(s"hp:$table:$p:$j").substring(0, 8), 16).toDouble /
+      4294967296.0 - 0.5
+
+  /** Signature for one hash table, PURE CATALYST: the planes are
+    * literal arrays (constants — md5-derived, so the oracle states the
+    * same numbers), projections are sequential folds (bit-for-bit
+    * reproducible across engines: identical products, identical
+    * summation order), bits are sign tests.
+    */
+  def portableSig(vec: Column, dim: Int, bits: Int, table: Int): Column =
+    (0 until bits).map { p =>
+      val plane = typedLit(Array.tabulate(dim)(j => portablePlaneComponent(table, p, j)))
+      val proj = aggregate(zip_with(vec, plane, (x, y) => x * y),
+        lit(0.0d), (acc, x) => acc + x)
+      when(proj >= 0.0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** [[lshTopK]] over the portable signatures — same bucket-join +
+    * exact-rerank shape, every step oracle-checkable. The xxhash
+    * variant stays as the throughput path.
+    */
+  def lshTopKPortable(queries: DataFrame, corpus: DataFrame, k: Int,
+                      dim: Int, bits: Int = 10, tables: Int = 6): DataFrame = {
+    def bucketed(df: DataFrame, idName: String, vecName: String): DataFrame =
+      (0 until tables).map { t =>
+        df.select(col("id").as(idName), col("vec").as(vecName),
+          lit(t).as("table"),
+          portableSig(col("vec"), dim, bits, t).as("bucket"))
+      }.reduce(_.unionByName(_))
+    val qb = bucketed(queries, "query_id", "qvec")
+    val cb = bucketed(corpus, "neighbor_id", "cvec")
+    val candidates = qb.join(cb, Seq("table", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "qvec", "neighbor_id", "cvec")
+      .dropDuplicates("query_id", "neighbor_id")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    candidates.withColumn("cosine", cosine(col("qvec"), col("cvec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
+  /** [[cosineDupPairs]] over the portable signatures. */
+  def cosineDupPairsPortable(df: DataFrame, threshold: Double, dim: Int,
+                             bits: Int = 8, tables: Int = 6): DataFrame = {
+    def bucketed(idName: String, vecName: String): DataFrame =
+      (0 until tables).map { t =>
+        df.select(col("id").as(idName), col("vec").as(vecName),
+          lit(t).as("table"),
+          portableSig(col("vec"), dim, bits, t).as("bucket"))
+      }.reduce(_.unionByName(_))
+    bucketed("id_a", "vec_a").join(bucketed("id_b", "vec_b"), Seq("table", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "vec_a", "id_b", "vec_b")
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("cosine", cosine(col("vec_a"), col("vec_b")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
+  }
+
   /** Embedding-cosine near-duplicate pairs (cosine ≥ threshold),
     * LSH-bucketed (id_a < id_b).
     */

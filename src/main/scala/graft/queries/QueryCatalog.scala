@@ -535,13 +535,14 @@ object QueryCatalog {
         round(col("cosine"), 4).as("cosine"), col("rank"))
   }
 
-  /** LSH ANN over the same vectors (rows-only; recall vs brute force is
-    * asserted in unit tests).
+  /** LSH ANN over portable hyperplanes — the ENTIRE approximate path
+    * (signatures, bucket join, exact rerank) is oracle-checked; the
+    * xxhash-plane variant stays unit-test-pinned for throughput.
     */
   def qAnnLsh(spark: SparkSession, dir: String): DataFrame = {
     val emb = embeddings(spark, dir)
     val dim = emb.select(size(col("vec"))).first().getInt(0)
-    Similarity.lshTopK(emb.filter(col("id") < 30), emb, k = 3,
+    Similarity.lshTopKPortable(emb.filter(col("id") < 30), emb, k = 3,
         dim = dim, bits = 10, tables = 6)
       .select(col("query_id"), col("neighbor_id"),
         round(col("cosine"), 4).as("cosine"), col("rank"))
@@ -560,12 +561,14 @@ object QueryCatalog {
         round(col("cosine"), 4).as("cosine"), col("rank"))
   }
 
-  /** Embedding-cosine near-dup pairs (rows-only). */
+  /** Embedding-cosine near-dup pairs over portable hyperplanes
+    * (fully oracle-checked).
+    */
   def qCosineDupPairs(spark: SparkSession, dir: String): DataFrame = {
     val emb = embeddings(spark, dir)
     val dim = emb.select(size(col("vec"))).first().getInt(0)
-    Similarity.cosineDupPairs(emb, threshold = 0.35, dim = dim, bits = 8, tables = 6)
-      .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
+    Similarity.cosineDupPairsPortable(emb, threshold = 0.35, dim = dim,
+      bits = 8, tables = 6)
   }
 
   // ---------- multimodal plumbing (stubbed decode, real plumbing) ----------

@@ -151,6 +151,20 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.6, s"LSH recall $recall too low")
   }
 
+  test("portable-LSH topK recall >= 0.6 vs brute force") {
+    val vecs = clusteredVecs(200, 20).toDF("id", "vec")
+    val queries = vecs.filter(col("id") < 20)
+    val exact = Similarity.cosineTopK(queries, vecs, k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.lshTopKPortable(queries, vecs, k = 5,
+        dim = 20, bits = 8, tables = 6)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.6, s"portable LSH recall $recall too low")
+  }
+
   test("cosineDupPairs finds planted near-identical vectors") {
     val base = Array.tabulate(16)(j => (j % 3).toFloat + 0.1f)
     val twin = base.clone(); twin(0) += 0.01f
