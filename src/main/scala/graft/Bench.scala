@@ -5,7 +5,7 @@ import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.SparkSession
 
 import graft.core.Model.CrawlConfig
-import graft.crawl.{SyntheticCorpus, WaveRunner}
+import graft.crawl.{FetchSource, SyntheticCorpus, WaveRunner}
 
 /** Per-round benchmark. Prints ONE JSON line:
   * {"metric":...,"value":totalSec,"unit":"sec","queries":{...},"sf":...}
@@ -15,8 +15,20 @@ import graft.crawl.{SyntheticCorpus, WaveRunner}
   *     scheduled+extracted per second) over a deterministic synthetic
   *     corpus — measured at cores/4 and at cores on the SAME input to
   *     evidence the N→4N scaling-efficiency criterion (no real cluster
-  *     in this sandbox; see BASELINE.md). A JIT warm-up crawl runs
-  *     first so neither timed run pays compilation;
+  *     in this sandbox; see BASELINE.md). Round-3 measurement protocol,
+  *     after the round-2 driver run landed a noise-dominated 0.294
+  *     (c8 legs agreed across five runs, c32 legs spanned 2×):
+  *       - the two legs are INTERLEAVED (c8,c32 / c32,c8 / c8,c32 …)
+  *         so one host-load spike cannot own a whole leg and the
+  *         leg order cannot bias the ratio;
+  *       - each leg is best-of-`Rounds` (min wall time damps noise);
+  *       - each session runs one small warm-up crawl first so neither
+  *         timed run pays JIT/codegen;
+  *       - the BUCKETED fetch regime (the designed 10^10 scale path:
+  *         co-partitioned SHJ against a pre-ingested bucketed table,
+  *         zero html exchange, zero driver broadcast build) is measured
+  *         under the same protocol and reported alongside the
+  *         broadcast regime — round-2 verdict #6.
   *  2. wall time of every SparkEntry query at `cores`, fully
   *     materialized via the noop sink (count() would let Catalyst
   *     prune the very columns we mean to measure).
@@ -28,6 +40,17 @@ object Bench {
     * costs (~600k pages ≈ 4 min of single-core extract+expand work).
     */
   val ScaleUrls: Long = sys.env.getOrElse("SPARK_GRAFT_BENCH_URLS", "2400000").toLong
+
+  /** Timed measurements per (leg, regime); best (min) wall time wins. */
+  val Rounds: Int = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "3").toInt
+
+  /** Bucket count of the shared bucketed fetch table (2 tasks/core at
+    * the big leg; still ≥ 2/core at the small leg).
+    */
+  val FetchBuckets: Int = 64
+
+  private val shmOk = Files.isDirectory(Paths.get("/dev/shm"))
+  private val base = if (shmOk) "/dev/shm" else "target"
 
   private def newSession(cores: Int): SparkSession = {
     val s = SparkSession.builder()
@@ -43,9 +66,7 @@ object Bench {
       // shuffle/spill on tmpfs too: /tmp sits on the sandbox's one
       // throttled virtio disk and its writeback noise swamps the
       // measurement (a cluster's shuffle IO scales with executors)
-      .config("spark.local.dir",
-        if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get("/dev/shm")))
-          "/dev/shm/graft-spark-local" else "/tmp")
+      .config("spark.local.dir", if (shmOk) "/dev/shm/graft-spark-local" else "/tmp")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
@@ -54,26 +75,41 @@ object Bench {
   private def spec = SyntheticCorpus.Spec(
     numUrls = ScaleUrls, numHosts = math.max(50, (ScaleUrls / 100).toInt))
 
+  /** Broadcast regime: the synthetic corpus is one capture per url, so
+    * pops at this wave size broadcast into the fetch join.
+    */
+  private def broadcastCfg = CrawlConfig(
+    maxDepth = 3, defaultMaxPerWave = 1000000, maxWaves = 2,
+    saltTarget = 20000L, assumeUniqueUrls = true,
+    broadcastPopRows = ScaleUrls * 2)
+
+  private def bucketDir = s"$base/graft-bench-buckets-$ScaleUrls-$FetchBuckets"
+
+  /** Bucketed regime: the designed scale path — every fetch join is a
+    * co-partitioned shuffle-hash join against the shared pre-ingested
+    * bucketed table (ingest amortized across crawls like any table
+    * layout; excluded from timing, like corpus generation). Count
+    * verification off: the corpus is immutable by construction and the
+    * count scan would pollute the timed region.
+    */
+  private def bucketedCfg = broadcastCfg.copy(
+    fetchBuckets = FetchBuckets, fetchBucketDir = Some(bucketDir),
+    broadcastPopRows = 0L, fetchIngestVerifyCount = false)
+
   /** One crawl: seeds = every 4th url (so wave 1 is already fetch-heavy
     * and wave 2 covers most of the rest — the work-dominated regime a
     * production frontier lives in). Returns (urls, sec, urls/sec).
     */
   def crawlBench(spark: SparkSession, corpusPath: String, seedsN: Int,
-                 label: String): (Long, Double, Double) = {
+                 label: String, cfg: CrawlConfig): (Long, Double, Double) = {
     // crawl state on tmpfs: the sandbox's single throttled virtio disk
     // would serialize state IO that a real cluster spreads across
     // executors' disks/DFS — measure compute scaling, not one disk
     val stateRoot = Files.createTempDirectory(
-      if (Files.isDirectory(java.nio.file.Paths.get("/dev/shm")))
-        java.nio.file.Paths.get("/dev/shm") else java.nio.file.Paths.get("/tmp"),
+      if (shmOk) Paths.get("/dev/shm") else Paths.get("/tmp"),
       s"graft-bench-$label-").toString
-    // the synthetic corpus is one capture per url; pops at this wave
-    // size stay broadcastable (the gated non-broadcast regime is
-    // exercised by tests + the bucketed equivalence spec)
-    val runner = new WaveRunner(spark, spark.read.parquet(corpusPath), stateRoot,
-      CrawlConfig(maxDepth = 3, defaultMaxPerWave = 1000000, maxWaves = 2,
-        saltTarget = 20000L, assumeUniqueUrls = true,
-        broadcastPopRows = ScaleUrls * 2))
+    val runner = new WaveRunner(spark, spark.read.parquet(corpusPath),
+      stateRoot, cfg)
     val s = spec
     val step = math.max(1, (s.numUrls / seedsN).toInt)
     runner.initSeeds((0L until s.numUrls by step).map(i =>
@@ -90,43 +126,71 @@ object Bench {
     (urls, sec, urls / sec)
   }
 
+  /** One warmed, timed measurement in a fresh session. */
+  private def measure(cores: Int, corpusPath: String, label: String,
+                      cfg: CrawlConfig): (Long, Double) = {
+    val s = newSession(cores)
+    try {
+      crawlBench(s, corpusPath, seedsN = 1500, s"warm-$label", cfg) // JIT/codegen
+      val (urls, sec, _) =
+        crawlBench(s, corpusPath, (ScaleUrls / 4).toInt, label, cfg)
+      (urls, sec)
+    } finally s.stop()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val smallCores = math.max(2, cores / 4)
 
-    // ---- corpus (generation excluded from timing; cached on disk) ----
+    // ---- prep (untimed): corpus + shared bucketed ingest + JIT ----
     val prep = newSession(cores)
-    val shm = java.nio.file.Paths.get("/dev/shm")
-    val corpusBase = if (Files.isDirectory(shm)) "/dev/shm" else "target"
-    val corpusPath = s"$corpusBase/graft-bench-corpus-$ScaleUrls"
+    val corpusPath = s"$base/graft-bench-corpus-$ScaleUrls"
     if (!Files.exists(Paths.get(corpusPath, "_SUCCESS"))) {
       SyntheticCorpus.generate(prep, spec, partitions = cores * 4)
         .write.mode("overwrite").parquet(corpusPath)
     }
-    crawlBench(prep, corpusPath, seedsN = 1500, label = "warmup") // JIT
+    if (!Files.exists(Paths.get(bucketDir, "_SUCCESS")))
+      new FetchSource(prep, prep.read.parquet(corpusPath), "/unused-state",
+        bucketedCfg).source.queryExecution // force the one-time ingest
+    crawlBench(prep, corpusPath, seedsN = 1500, "warmup", broadcastCfg)
     prep.stop()
 
-    // ---- crawl at N and 4N cores, same input; warm up INSIDE each
-    // session (codegen classes are per-session, a cold session's first
-    // big run pays compilation) ----
-    def bestOf2(session: SparkSession, label: String): (Long, Double, Double) = {
-      crawlBench(session, corpusPath, seedsN = 1500, label = s"warm-$label")
-      val a = crawlBench(session, corpusPath, seedsN = (ScaleUrls / 4).toInt, label = label)
-      val b = crawlBench(session, corpusPath, seedsN = (ScaleUrls / 4).toInt, label = label)
-      if (a._2 <= b._2) a else b // min wall time damps host noise
+    // ---- interleaved legs: (leg, regime) rotated within each round so
+    // neither host drift nor run order can own a leg ----
+    val legs = scala.collection.mutable.Map
+      .empty[(Int, String), List[Double]].withDefaultValue(Nil)
+    var urlsCrawled = 0L
+    (1 to Rounds).foreach { r =>
+      val order = if (r % 2 == 0) Seq(cores, smallCores) else Seq(smallCores, cores)
+      order.foreach { c =>
+        Seq("bcast" -> broadcastCfg, "bucket" -> bucketedCfg).foreach {
+          case (regime, cfg) =>
+            val (urls, sec) = measure(c, corpusPath, s"c$c-$regime-r$r", cfg)
+            urlsCrawled = urls
+            legs((c, regime)) = legs((c, regime)) :+ sec
+        }
+      }
     }
-    val sSmall = newSession(smallCores)
-    val (_, secSmall, tputSmall) = bestOf2(sSmall, s"c$smallCores")
-    sSmall.stop()
-    val sBig = newSession(cores)
-    val (urlsBig, secBig, tputBig) = bestOf2(sBig, s"c$cores")
+    def best(c: Int, regime: String): Double = legs((c, regime)).min
+    def runsJson(c: Int, regime: String): String =
+      legs((c, regime)).map(t => f"$t%.2f").mkString("[", ",", "]")
+
+    // headline regime = the faster of the two at the big leg (both are
+    // fully reported; the bucketed one is the designed 10^10 path)
+    val headline =
+      if (best(cores, "bucket") <= best(cores, "bcast")) "bucket" else "bcast"
+    val secBig = best(cores, headline)
+    val secSmall = best(smallCores, headline)
+    val tputBig = urlsCrawled / secBig
+    val tputSmall = urlsCrawled / secSmall
     val speedup = secSmall / secBig
     val efficiency = speedup / (cores.toDouble / smallCores)
 
-    // ---- query timings (reuse the big-core session) ----
+    // ---- query timings (fresh big-core session) ----
     // a crashing query must NOT be silently recorded as a fast success:
     // failures are flagged with a negative time and listed by name
+    val sBig = newSession(cores)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
@@ -144,17 +208,26 @@ object Bench {
     val total = querySec + secBig
 
     val extra = Seq(
-      s""""crawl_urls":$urlsBig""",
+      s""""crawl_urls":$urlsCrawled""",
+      s""""crawl_regime":"$headline"""",
       s""""crawl_sec_c$cores":${f"$secBig%.2f"}""",
       s""""crawl_urls_per_sec_c$cores":${f"$tputBig%.1f"}""",
       s""""crawl_sec_c$smallCores":${f"$secSmall%.2f"}""",
       s""""crawl_urls_per_sec_c$smallCores":${f"$tputSmall%.1f"}""",
       s""""scaling_speedup_${smallCores}_to_$cores":${f"$speedup%.3f"}""",
       s""""scaling_efficiency":${f"$efficiency%.3f"}""",
+      s""""crawl_sec_c${cores}_bcast_runs":${runsJson(cores, "bcast")}""",
+      s""""crawl_sec_c${smallCores}_bcast_runs":${runsJson(smallCores, "bcast")}""",
+      s""""crawl_sec_c${cores}_bucket_runs":${runsJson(cores, "bucket")}""",
+      s""""crawl_sec_c${smallCores}_bucket_runs":${runsJson(smallCores, "bucket")}""",
+      s""""scaling_efficiency_bcast":${
+        f"${best(smallCores, "bcast") / best(cores, "bcast") / (cores.toDouble / smallCores)}%.3f"}""",
+      s""""scaling_efficiency_bucket":${
+        f"${best(smallCores, "bucket") / best(cores, "bucket") / (cores.toDouble / smallCores)}%.3f"}""",
       s""""query_failures":${failed.size}""")
     val qs = (results.map { case (k, v) => s""""$k":${f"$v%.3f"}""" } ++ extra)
       .mkString("{", ",", "}")
-    println(s"""{"metric":"crawl urls scheduled+extracted/sec @${cores}c: ${f"$tputBig%.1f"}; scaling eff ${smallCores}c->${cores}c: ${f"$efficiency%.3f"}; query total sec","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"crawl urls scheduled+extracted/sec @${cores}c: ${f"$tputBig%.1f"} ($headline regime); scaling eff ${smallCores}c->${cores}c: ${f"$efficiency%.3f"}; query total sec","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     sBig.stop()
   }
 }

@@ -147,6 +147,70 @@ object SparkEntry {
        |      (a, b) -> a + b) >= 0 THEN 1 << p ELSE 0 END)) AS BIGINT) AS bucket
        | FROM v CROSS JOIN (SELECT unnest(range(0, $tables)) AS t))""".stripMargin
 
+  /** Oracle for the portable IVF ANN (IvfIndex.trainPortable/
+    * assignPortable/topKPortable): the full pipeline — fixed-point
+    * quantization, deterministic md5 seed pick, `iters` unrolled Lloyd
+    * rounds on exact integer arithmetic, final assign, nprobe probe,
+    * float cosine rerank — stated as one SQL statement. All integer
+    * steps are order-independent (exact), so cross-engine parity is
+    * bitwise; the rerank cosine reuses the sequential-fold pattern the
+    * LSH oracles proved.
+    */
+  private def ivfOracle(k: Int, dim: Int, iters: Int, nprobe: Int,
+                        topk: Int): String = {
+    def dist(qv: String, cv: String) =
+      s"CAST(list_sum(list_transform(range(1, $dim + 1), " +
+        s"j -> ($qv[j] - $cv[j]) * ($qv[j] - $cv[j]))) AS BIGINT)"
+    def lloyd(prev: String, out: String) =
+      s"""a_$out AS (
+         | SELECT id, qv, cid FROM (
+         |  SELECT v.id, v.qv, c.cid, row_number() OVER (PARTITION BY v.id
+         |    ORDER BY ${dist("v.qv", "c.cvec")} ASC, c.cid ASC) AS rn
+         |  FROM v CROSS JOIN $prev c) WHERE rn = 1),
+         |m_$out AS (
+         | SELECT cid, j, CAST(floor(CAST(sum(qv[j]) AS double) / count(*))
+         |   AS BIGINT) AS m
+         | FROM a_$out CROSS JOIN (SELECT unnest(range(1, $dim + 1)) AS j)
+         | GROUP BY cid, j),
+         |$out AS (
+         | SELECT s.cid, coalesce(g.cvec, s.cvec) AS cvec
+         | FROM $prev s LEFT JOIN (SELECT cid, list(m ORDER BY j) AS cvec
+         |   FROM m_$out GROUP BY cid) g USING (cid))""".stripMargin
+    val rounds = (1 to iters).map(i => lloyd(s"c${i - 1}", s"c$i")).mkString(",\n")
+    val cf = s"c$iters"
+    s"""WITH v AS (SELECT vec_id AS id, embedding AS vec,
+       |  list_transform(embedding, x -> CAST(floor(x * 10000.0 + 0.5) AS BIGINT)) AS qv
+       | FROM embeddings),
+       |c0 AS (SELECT rn - 1 AS cid, qv AS cvec FROM (
+       |  SELECT qv, row_number() OVER (ORDER BY
+       |    ('0x' || substr(md5('seed:' || CAST(id AS varchar)), 1, 8))::BIGINT ASC,
+       |    id ASC) AS rn
+       |  FROM v) WHERE rn <= $k),
+       |$rounds,
+       |af AS (
+       | SELECT id, vec, cid FROM (
+       |  SELECT v.id, v.vec, c.cid, row_number() OVER (PARTITION BY v.id
+       |    ORDER BY ${dist("v.qv", "c.cvec")} ASC, c.cid ASC) AS rn
+       |  FROM v CROSS JOIN $cf c) WHERE rn = 1),
+       |probes AS (
+       | SELECT id AS query_id, vec AS qvec, cid AS cluster FROM (
+       |  SELECT v.id, v.vec, c.cid, row_number() OVER (PARTITION BY v.id
+       |    ORDER BY ${dist("v.qv", "c.cvec")} ASC, c.cid ASC) AS rn
+       |  FROM v CROSS JOIN $cf c WHERE v.id < 30) WHERE rn <= $nprobe),
+       |scored AS (
+       | SELECT p.query_id, a.id AS neighbor_id,
+       |  CASE WHEN list_dot_product(p.qvec, p.qvec) = 0
+       |    OR list_dot_product(a.vec, a.vec) = 0 THEN 0.0
+       |   ELSE list_dot_product(p.qvec, a.vec) /
+       |    (sqrt(list_dot_product(p.qvec, p.qvec)) *
+       |     sqrt(list_dot_product(a.vec, a.vec))) END AS cosine
+       | FROM probes p JOIN af a ON a.cid = p.cluster AND a.id <> p.query_id)
+       |SELECT query_id, neighbor_id, round(cosine, 4) AS cosine, rank FROM (
+       | SELECT *, row_number() OVER (PARTITION BY query_id
+       |   ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM scored)
+       |WHERE rank <= $topk""".stripMargin
+  }
+
   /** DuckDB oracles (ANSI SQL over the same parquet tables). Keys
     * absent here get the driver's weaker rows-only check — that set is
     * exactly the operators whose semantics live in engine code (LSH
@@ -436,17 +500,21 @@ object SparkEntry {
         |  strftime(l_shipdate, '%Y-%m-%d')
         |FROM li""".stripMargin,
     "q_fingerprint" ->
-      """WITH g AS (SELECT doc_id, lower(trim(text)) AS t FROM documents),
+      """WITH toks AS (SELECT doc_id,
+        |  list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+        |    x -> length(x) > 0) AS tk
+        | FROM documents),
         |gr AS (SELECT doc_id,
-        |  CASE WHEN length(t) < 8 THEN [('0x' || substr(md5(t), 1, 8))::BIGINT]
-        |  ELSE list_transform(range(1, length(t) - 6),
-        |    i -> ('0x' || substr(md5(substr(t, CAST(i AS int), 8)), 1, 8))::BIGINT)
+        |  CASE WHEN len(tk) < 5
+        |  THEN [('0x' || substr(md5(array_to_string(tk, ' ')), 1, 8))::BIGINT]
+        |  ELSE list_transform(range(1, len(tk) - 3),
+        |    i -> ('0x' || substr(md5(array_to_string(tk[i:i+4], ' ')), 1, 8))::BIGINT)
         |  END AS grams
-        | FROM g),
+        | FROM toks),
         |mn AS (SELECT doc_id,
-        |  list_distinct(CASE WHEN len(grams) < 16 THEN [list_min(grams)]
-        |  ELSE list_transform(range(1, len(grams) - 14),
-        |    j -> list_min(grams[j:j+15])) END) AS fps
+        |  list_distinct(CASE WHEN len(grams) < 8 THEN [list_min(grams)]
+        |  ELSE list_transform(range(1, len(grams) - 6),
+        |    j -> list_min(grams[j:j+7])) END) AS fps
         | FROM gr)
         |SELECT doc_id, CAST(len(fps) AS int) AS n_fingerprints,
         | list_min(fps) AS min_fp, list_max(fps) AS max_fp
@@ -512,6 +580,35 @@ object SparkEntry {
         |  ON a.chunk = b.chunk AND a.ckey = b.ckey AND a.doc_id < b.doc_id)
         |SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS int) AS hamming
         |FROM pairs WHERE bit_count(xor(sa, sb)) <= 3""".stripMargin,
+    "q_ann_ivf" -> ivfOracle(k = 16, dim = 64, iters = 2, nprobe = 4, topk = 3),
+    "q_media_features" ->
+      """WITH m AS (SELECT unnest(range(0, 500)) AS media_id),
+        |b AS (
+        | SELECT media_id,
+        |  CASE media_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |   ELSE 'video' END AS kind,
+        |  64 + (('0x' || substr(md5('len:' || CAST(media_id AS varchar)), 1, 8))
+        |   ::BIGINT % 192) AS len
+        | FROM m),
+        |hx AS (
+        | SELECT media_id, kind,
+        |  substr(array_to_string(list_transform(
+        |    range(0, CAST((len * 2 + 31) // 32 AS int)),
+        |    k -> md5('b:' || CAST(media_id AS varchar) || ':'
+        |      || CAST(k AS varchar))), ''), 1, CAST(len * 2 AS int)) AS hex
+        | FROM b),
+        |d AS (
+        | SELECT media_id, kind,
+        |  CASE WHEN kind = 'image' THEN 0
+        |   ELSE ('0x' || substr(md5('dur:' || hex), 1, 8))::BIGINT % 600000
+        |   END AS duration_ms
+        | FROM hx)
+        |SELECT media_id, kind,
+        | CAST(CASE WHEN kind <> 'video' THEN 1
+        |  WHEN duration_ms <= 0 THEN 1
+        |  ELSE greatest(duration_ms // 1000, 1) END AS int) AS frames,
+        | 16 AS feature_dim
+        |FROM d""".stripMargin,
     "q_cosine_topk" ->
       """SELECT query_id, neighbor_id, round(cosine, 4) AS cosine, rank FROM (
         | SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

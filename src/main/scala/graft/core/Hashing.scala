@@ -27,6 +27,14 @@ object Hashing {
     d.digest(s.getBytes(UTF_8)).map(b => f"$b%02x").mkString
   }
 
+  /** First 8 hex digits of md5 as a long — the JVM twin of
+    * `TextAnalysis.portableHash` (Catalyst) and DuckDB's
+    * `('0x' || substr(md5(s), 1, 8))::BIGINT`: the one 32-bit hash all
+    * three engines can state identically.
+    */
+  def portableHash(s: String): Long =
+    java.lang.Long.parseLong(md5Hex(s).substring(0, 8), 16)
+
   /** Content hash of a page row, mirroring the reference's rule of
     * md5 over the concatenation of the *sorted* stringified page
     * values (reference: crawler/connectors/htmlconnector.py:106-107).

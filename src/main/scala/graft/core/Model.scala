@@ -48,7 +48,13 @@ object Model {
       depth: Int,
       priority: Int,
       score: Long,
-      discoveredWave: Int)
+      discoveredWave: Int,
+      /** urlHash of the page this URL was first extracted FROM (0 for
+        * seeds) — the parent pointer that makes the frontier a forest,
+        * i.e. the wave-model form of the reference's hierarchical
+        * session-info path tuple (sessioninfomanager.py:28-44). The
+        * re-crawl subtree gate walks it. */
+      parentHash: Long = 0L)
 
   /** Scheduling score: priority dominates, then depth; urlHash breaks
     * ties at sort time. Packed so a single long column sorts correctly
@@ -56,6 +62,13 @@ object Model {
     */
   def score(priority: Int, depth: Int): Long =
     priority.toLong * 1000000L + depth.toLong
+
+  /** Column form of [[score]] — the single definition the wave loop's
+    * expand projection uses (no duplicated literal formula to drift).
+    */
+  def scoreCol(priority: org.apache.spark.sql.Column,
+               depth: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    priority.cast("long") * 1000000L + depth.cast("long")
 
   /** URL-seen set row: url identity + content hash (enables the
     * reference's content-hash "unchanged ⇒ skip" incremental semantics,
@@ -87,13 +100,18 @@ object Model {
 
   /** Per-wave metrics, mirroring the reference's CrawlerMetrics
     * (articles_crawled / articles_added / content_fetched,
-    * crawler/model.py:178-187) plus frontier accounting.
+    * crawler/model.py:178-187) plus frontier accounting. `failed`
+    * counts terminal misses only; transient will-retry rows are
+    * `deferred` (scheduled = fetched + failed + deferred). A wave whose
+    * staged counts were lost across a crash/resume is MARKED with -1
+    * counts rather than fabricated zeros.
     */
   final case class WaveMetrics(
       wave: Int,
       scheduled: Long,
       fetched: Long,
       failed: Long,
+      deferred: Long,
       contentBytes: Long,
       newUrls: Long,
       frontierPending: Long,
@@ -136,6 +154,14 @@ object Model {
         * fetched URL becomes eligible again `recrawlEveryWaves` waves
         * after its last fetch; 0 disables re-crawling (one-shot). */
       recrawlEveryWaves: Int = 0,
+      /** re-crawl SUBTREE gate (the reference's hierarchical
+        * session-info skip: an unchanged parent stops the descent,
+        * htmlconnector.py:60-61, sessioninfomanager.py:56-70): a
+        * recrawl-due URL with a parent re-enters the pending set only
+        * after its parent's latest probe found CHANGED content since
+        * the URL's own last fetch. Roots (seeds) always re-enter on
+        * schedule; false re-crawls every due URL unconditionally. */
+      recrawlSubtreeGate: Boolean = true,
       /** fetch-join gate: the popped side broadcasts only below this
         * row count; above it, the join co-partitions on urlHash
         * (against the bucketed fetch source when `fetchBuckets` > 0)
@@ -146,6 +172,14 @@ object Model {
         * reuses the bucketing — no shuffle of the html column, ever.
         * 0 keeps the plain scan (fine while pops stay broadcastable). */
       fetchBuckets: Int = 0,
+      /** where the bucketed fetch table lives; None = under stateRoot.
+        * Point several crawls of one immutable corpus at a shared dir
+        * to amortize the ingest across them (the bench does). */
+      fetchBucketDir: Option[String] = None,
+      /** verify (row count) that a reused bucketed ingest still matches
+        * the current pagesInput — one count job per crawl, cheap next
+        * to a silent stale-snapshot join. Schema is always checked. */
+      fetchIngestVerifyCount: Boolean = true,
       /** declare the input table one-capture-per-url (a deduplicated
         * snapshot rather than a multi-capture archive): skips the
         * latest-capture dedup in the plain fetch join. Multi-capture

@@ -43,19 +43,57 @@ final class FetchSource(
   private val plain: DataFrame = pagesInput
     .select(xxhash64(col("url")).as("page_urlHash"), col("warc_ts"), col("html"))
 
-  private val bucketDir = s"$stateRoot/fetch_bucketed"
+  private val bucketDir =
+    config.fetchBucketDir.getOrElse(s"$stateRoot/fetch_bucketed")
   private val tableName =
-    "graft_fetch_" + java.lang.Long.toHexString(graft.core.Hashing.xxhash64(stateRoot))
+    "graft_fetch_" + java.lang.Long.toHexString(graft.core.Hashing.xxhash64(bucketDir))
 
   /** True when joins run against the bucketed ingest (pre-deduped). */
   val bucketed: Boolean = config.fetchBuckets > 0
+
+  private def ingestMetaPath = Paths.get(bucketDir, "_graft_ingest.meta")
+
+  /** Fingerprint of the INPUT the bucketed table was ingested from
+    * (pre-dedup row count + schema DDL). A resumed crawl whose
+    * pagesInput gained captures must not silently join a stale
+    * snapshot — [[verifyIngest]] fails loudly on mismatch.
+    */
+  private def writeIngestMeta(inputRows: Long): Unit =
+    Files.write(ingestMetaPath,
+      s"$inputRows\n${pagesInput.schema.toDDL}\n".getBytes("UTF-8"))
+
+  private def verifyIngest(): Unit = {
+    if (!Files.exists(ingestMetaPath)) return // pre-fingerprint ingest
+    val lines = new String(Files.readAllBytes(ingestMetaPath), "UTF-8")
+      .split("\n", 2)
+    val wantSchema = lines(1).trim
+    val gotSchema = pagesInput.schema.toDDL
+    if (gotSchema != wantSchema)
+      throw new IllegalStateException(
+        s"bucketed fetch table at $bucketDir was ingested from an input " +
+          s"with schema [$wantSchema] but the current pagesInput has " +
+          s"[$gotSchema]; delete the directory to re-ingest")
+    if (config.fetchIngestVerifyCount) {
+      val wantRows = lines(0).trim.toLong
+      val gotRows = pagesInput.count()
+      if (gotRows != wantRows)
+        throw new IllegalStateException(
+          s"bucketed fetch table at $bucketDir was ingested from " +
+            s"$wantRows input rows but the current pagesInput has $gotRows " +
+            s"(captures appended or removed); delete the directory to " +
+            s"re-ingest, or set fetchIngestVerifyCount=false to accept " +
+            s"an immutable-input contract")
+    }
+  }
 
   /** The fetch source DataFrame. Bucketed mode materializes (once) a
     * table CLUSTERED BY page_urlHash holding the latest capture per
     * url; the one-time shuffle is amortized over every subsequent wave,
     * which joins with zero exchange on the pages side. Idempotent and
     * session-restart-safe: an existing directory is re-registered in
-    * the (in-memory) catalog via DDL instead of rewritten.
+    * the (in-memory) catalog via DDL instead of rewritten — after the
+    * input fingerprint check (schema always; row count unless
+    * `fetchIngestVerifyCount` is off).
     */
   lazy val source: DataFrame =
     if (!bucketed) plain
@@ -63,16 +101,21 @@ final class FetchSource(
       val nb = config.fetchBuckets
       if (!spark.catalog.tableExists(tableName)) {
         if (!Files.exists(Paths.get(bucketDir, "_SUCCESS"))) {
+          val obs = org.apache.spark.sql.Observation(
+            s"graft-ingest-${tableName.takeRight(8)}")
           val w = Window.partitionBy("page_urlHash")
             .orderBy(col("warc_ts").desc, xxhash64(col("html")).desc)
           plain
+            .observe(obs, count(lit(1)).as("input_rows"))
             .repartition(nb, col("page_urlHash"))
             .withColumn("rn", row_number().over(w))
             .filter(col("rn") === 1).drop("rn")
             .write.bucketBy(nb, "page_urlHash").sortBy("page_urlHash")
             .option("path", bucketDir).format("parquet")
             .mode("overwrite").saveAsTable(tableName)
+          writeIngestMeta(obs.get("input_rows").asInstanceOf[Long])
         } else {
+          verifyIngest()
           val ddlSchema = plain.schema.toDDL
           spark.sql(
             s"""CREATE TABLE $tableName ($ddlSchema) USING parquet
@@ -93,7 +136,8 @@ final class FetchSource(
     val p = if (small) broadcast(popped) else popped.hint("shuffle_hash")
     val joined = source
       .join(p, p("urlHash") === col("page_urlHash"), "inner")
-    val cols = Seq("url", "host", "depth", "priority", "score", "attempts")
+    val cols =
+      Seq("url", "host", "depth", "priority", "score", "attempts", "priorHash")
     if (bucketed || config.assumeUniqueUrls)
       // bucketed ingest already deduped to one capture per url;
       // assumeUniqueUrls declares the input a deduplicated snapshot

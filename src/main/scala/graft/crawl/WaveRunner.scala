@@ -102,6 +102,9 @@ final class WaveRunner(
     }
   }
 
+  // codegen'd scalar functions used in hot projections (idempotent)
+  graft.plans.HostOf.register(spark)
+
   private val fetchSource = new FetchSource(spark, pagesInput, stateRoot, config)
 
   /** Robots dimension (host, rules, robotsDelayMs): explicit DataFrame
@@ -257,7 +260,7 @@ final class WaveRunner(
 
   private def processedSlim(p: DataFrame): DataFrame =
     p.select("urlHash", "url", "host", "depth", "priority", "score",
-      "wave", "attempts", "state")
+      "wave", "attempts", "state", "contentHash", "changed")
 
   /** Latest try per urlHash (max by (wave, attempts) — total within a
     * key because attempts increase per wave for the same key).
@@ -266,12 +269,14 @@ final class WaveRunner(
     slim.groupBy("urlHash")
       .agg(max_by(
         struct(col("url"), col("host"), col("depth"), col("priority"),
-          col("score"), col("wave"), col("attempts"), col("state")),
+          col("score"), col("wave"), col("attempts"), col("state"),
+          col("contentHash"), col("changed")),
         struct(col("wave"), col("attempts"))).as("r"))
       .select("urlHash", "r.*")
 
   private val pendingCols =
-    Seq("urlHash", "url", "host", "depth", "priority", "score", "attempts", "origin")
+    Seq("urlHash", "url", "host", "depth", "priority", "score", "attempts",
+      "origin", "priorHash")
 
   /** The schedulable set for wave `w`:
     *  - fresh: discovered, never popped (anti-join against processed
@@ -279,7 +284,10 @@ final class WaveRunner(
     *  - retry: latest try Deferred, attempts < maxFetchAttempts, and
     *    the backoff has elapsed (reference requeue-self);
     *  - recrawl: latest try Fetched and `recrawlEveryWaves` elapsed
-    *    (reference crawl-frequency gate, taskmanager.py:338-361).
+    *    (reference crawl-frequency gate, taskmanager.py:338-361) —
+    *    subtree-gated by parent change state (see [[recrawlDue]]).
+    * `priorHash` rides along for recrawl pops (the stored content hash
+    * the probe compares against — null for fresh/retry rows).
     */
   private def pendingSet(w: Int): DataFrame = {
     val discoveries = frontierT.read().get
@@ -288,11 +296,13 @@ final class WaveRunner(
       case None =>
         discoveries.withColumn("attempts", lit(0))
           .withColumn("origin", lit("fresh"))
+          .withColumn("priorHash", lit(null).cast("string"))
       case Some(p) =>
         val fresh = SeenSet.notSeen(discoveries,
             Some(p.select("urlHash")), popBloom.get(w - 1))
           .withColumn("attempts", lit(0))
           .withColumn("origin", lit("fresh"))
+          .withColumn("priorHash", lit(null).cast("string"))
         val slim = processedSlim(p)
         val parts = Seq.newBuilder[DataFrame]
         parts += fresh
@@ -307,18 +317,56 @@ final class WaveRunner(
               col("attempts") < config.maxFetchAttempts &&
               col("wave") + config.retryBackoffWaves <= w)
             .withColumn("origin", lit("retry"))
+            .withColumn("priorHash", lit(null).cast("string"))
             .select(pendingCols.map(col): _*)
         }
-        if (config.recrawlEveryWaves > 0) {
-          parts += latestTry(slim)
-            .filter(col("state") === FrontierState.Fetched &&
-              col("wave") + config.recrawlEveryWaves <= w)
-            .withColumn("attempts", lit(0))
-            .withColumn("origin", lit("recrawl"))
-            .select(pendingCols.map(col): _*)
-        }
+        if (config.recrawlEveryWaves > 0)
+          parts += recrawlDue(w, slim).select(pendingCols.map(col): _*)
         parts.result().reduce(_.unionByName(_))
     }
+  }
+
+  /** Recrawl-eligible rows for wave `w` — the wave-model form of the
+    * reference's hierarchical session-info check
+    * (sessioninfomanager.py:56-70 truth table, operator twin
+    * [[graft.operators.SessionInfo.check]]): a URL whose frequency gate
+    * elapsed re-enters the pending set, UNLESS the subtree gate is on
+    * and its parent's latest probe found the parent UNCHANGED — the
+    * reference connectors stop descending under an unchanged parent
+    * (htmlconnector.py:60-61, amazonconnector.py:163-165), which at
+    * wave granularity means: children re-probe only after a parent
+    * probe newer than their own last fetch reported a change. Seeds
+    * (parentHash 0) re-probe on schedule, so change flows down the
+    * forest one level per recrawl wave and dies at the first unchanged
+    * page — an unchanged 3-level site costs ONE probe per cycle, not a
+    * full re-extraction.
+    */
+  private def recrawlDue(w: Int, slim: DataFrame): DataFrame = {
+    val latest = latestTry(slim)
+    val due = latest
+      .filter(col("state") === FrontierState.Fetched &&
+        col("wave") + config.recrawlEveryWaves <= w)
+      .withColumn("attempts", lit(0))
+      .withColumn("origin", lit("recrawl"))
+      .withColumn("priorHash", col("contentHash"))
+    if (!config.recrawlSubtreeGate) return due
+    val parentOf = frontierT.read().get.select(col("urlHash"), col("parentHash"))
+    val parentProbe = latest.select(col("urlHash").as("parentHash"),
+      col("wave").as("p_wave"), col("state").as("p_state"),
+      col("changed").as("p_changed"))
+    due
+      .join(parentOf, Seq("urlHash"), "left")
+      .join(parentProbe, Seq("parentHash"), "left")
+      .filter(
+        // roots (and pre-parentHash state) always re-enter on schedule
+        col("parentHash").isNull || col("parentHash") === 0L ||
+          // parent never probed (shouldn't happen for a discovered
+          // child) — fail open to the ungated frequency behavior
+          col("p_state").isNull ||
+          // parent probed SINCE this row's last fetch and found changed
+          (col("p_state") === FrontierState.Fetched &&
+            coalesce(col("p_changed"), lit(true)) &&
+            col("p_wave") > col("wave")))
   }
 
   /** Effective state per discovered url (pending until its latest
@@ -408,7 +456,7 @@ final class WaveRunner(
     val recrawlN = popObs.get("recrawls").asInstanceOf[Long]
 
     if (poppedN == 0L) {
-      writeCounts(staging, StageCounts(0, 0, 0, 0, 0, 0, 0))
+      writeCounts(staging, StageCounts(0, 0, 0, 0, 0, 0, 0, 0))
       return if (hasFutureWork) StageResult.Idle else StageResult.Drained
     }
 
@@ -423,14 +471,20 @@ final class WaveRunner(
         (popped.filter(!deferPred), Some(popped.filter(deferPred)))
     }
 
-    // ---- fetch + extract: ONE pass over html, ONE staged artifact ----
+    // ---- fetch + extract: ONE pass over html, ONE staged artifact.
+    // `changed` = content hash differs from the row's stored priorHash
+    // (always true for first fetches) — the update/no-update signal of
+    // the reference's updateSessionInfo (sessioninfomanager.py:72-90)
+    // computed inline, no extra join ----
     val counter = extractCounter
     val extracted = fetchSource.fetched(toFetch, poppedN)
       .select(col("urlHash"), col("url"), col("host"), col("score"),
-        col("depth"), col("priority"), col("attempts"), col("html"))
-      .as[(Long, String, String, Long, Int, Int, Int, Array[Byte])]
+        col("depth"), col("priority"), col("attempts"), col("priorHash"),
+        col("html"))
+      .as[(Long, String, String, Long, Int, Int, Int, String, Array[Byte])]
       .mapPartitions { rows =>
-        rows.map { case (urlHash, url, host, scoreV, depth, priority, attempts, html) =>
+        rows.map { case (urlHash, url, host, scoreV, depth, priority,
+            attempts, priorHash, html) =>
           counter.add(1)
           val s = new String(html, UTF_8)
           // ONE raw parse shared by title + outlinks (text needs its
@@ -440,20 +494,22 @@ final class WaveRunner(
           val text = BoilerplateExtractor.extractText(s)
           val links = LinkExtractor.linkUrls(rawDoc, url)
             .filter(_ != url).distinct // self-link drop (F8)
+          val contentHash = Hashing.contentHash(Seq(text, title)) // O6
           (urlHash, url, host, scoreV, FrontierState.Fetched, title, text,
-            Hashing.contentHash(Seq(text, title)), // reference hash rule (O6)
-            html.length.toLong, links.toArray, depth, priority, attempts + 1)
+            contentHash, html.length.toLong, links.toArray, depth, priority,
+            attempts + 1, priorHash == null || priorHash != contentHash)
         }
       }
       .toDF("urlHash", "url", "host", "score", "state", "title", "text",
-        "contentHash", "htmlBytes", "links", "depth", "priority", "attempts")
+        "contentHash", "htmlBytes", "links", "depth", "priority", "attempts",
+        "changed")
 
     def emptyPage(rows: DataFrame, state: String): DataFrame = rows
       .select(col("urlHash"), col("url"), col("host"), col("score"),
         lit(state).as("state"), lit("").as("title"),
         lit("").as("text"), lit("").as("contentHash"), lit(0L).as("htmlBytes"),
         typedLit(Array.empty[String]).as("links"), col("depth"), col("priority"),
-        (col("attempts") + 1).as("attempts"))
+        (col("attempts") + 1).as("attempts"), lit(false).as("changed"))
 
     // the fetched rows land first; the 404 analog (popped urls with no
     // page bytes) is then popped MINUS the staged fetched keys — a
@@ -482,32 +538,42 @@ final class WaveRunner(
     timed(s"w$w stage-misses")(
       tail.withColumn("wave", lit(w))
         .withColumn("nOutlinks", size(col("links")))
-        .observe(tailObs, count(lit(1)).as("n"))
+        .observe(tailObs, count(lit(1)).as("n"),
+          count(when(col("state") === FrontierState.Deferred, 1)).as("deferred"))
         .write.mode(SaveMode.Append).parquet(s"$staging/processed"))
     val scheduled = fetchedN + tailObs.get("n").asInstanceOf[Long]
+    val deferredN = tailObs.get("deferred").asInstanceOf[Long]
 
     // ---- frontier expansion (E2) from the staged artifact (resume
     // never re-extracts): explode links, dedup, anti-join ----
     val sp = spark.read.parquet(s"$staging/processed")
     val candidates = sp
-      .select(col("depth"), col("priority"), explode(col("links")).as("url"))
+      .select(col("urlHash").as("parentHash"), col("depth"), col("priority"),
+        explode(col("links")).as("url"))
       .withColumn("urlHash", xxhash64(col("url")))
       // in-batch dedup (D4): deterministic representative per url —
       // min() everywhere (never first(), which is partition-order
-      // dependent); lowest depth/priority wins = first-discovery rule
+      // dependent); lowest depth/priority wins = first-discovery rule,
+      // and the min parentHash is the deterministic parent pick when
+      // several pages link the same new url in one wave
       .groupBy("urlHash")
       .agg(min(col("url")).as("url"),
-        min(col("depth")).as("pdepth"), min(col("priority")).as("priority"))
+        min(col("depth")).as("pdepth"), min(col("priority")).as("priority"),
+        min(col("parentHash")).as("parentHash"))
 
     val frontierKeys = frontierT.read().get.select("urlHash")
     val newEntries = SeenSet.notSeen(candidates, Some(frontierKeys), bloom.get(w - 1))
       .select(
         col("urlHash"), col("url"),
-        udf((u: String) => UrlNormalizer.hostOf(u)).apply(col("url")).as("host"),
+        // native expression (plans.HostOf): the expand projection stays
+        // inside whole-stage codegen — no Scala-UDF encoder round trip
+        // in the hottest per-wave stage
+        graft.plans.HostOf.host_of(col("url")).as("host"),
         (col("pdepth") + 1).as("depth"),
         col("priority"),
-        (col("priority").cast("long") * 1000000L + col("pdepth") + 1).as("score"),
-        lit(w).as("discoveredWave"))
+        scoreCol(col("priority"), col("pdepth") + 1).as("score"),
+        lit(w).as("discoveredWave"),
+        col("parentHash"))
 
     val newObs = Observation(s"graft-new-$w")
     timed(s"w$w expand+stage-new")(
@@ -516,23 +582,23 @@ final class WaveRunner(
     val newUrls = newObs.get("n").asInstanceOf[Long]
 
     writeCounts(staging,
-      StageCounts(scheduled, fetchedN, scheduled - fetchedN, bytes,
-        newUrls, retryN, recrawlN))
+      StageCounts(scheduled, fetchedN, scheduled - fetchedN - deferredN,
+        deferredN, bytes, newUrls, retryN, recrawlN))
     StageResult.Staged
   }
 
   // ---- metrics (all inputs piggybacked from staging observations) ----
 
   final case class StageCounts(scheduled: Long, fetched: Long, failed: Long,
-                               bytes: Long, newUrls: Long, retries: Long,
-                               recrawls: Long)
+                               deferred: Long, bytes: Long, newUrls: Long,
+                               retries: Long, recrawls: Long)
 
   private def countsPath(staging: String) = Paths.get(staging, "counts.json")
 
   private def writeCounts(staging: String, c: StageCounts): Unit = {
     val json = s"""{"scheduled":${c.scheduled},"fetched":${c.fetched},""" +
-      s""""failed":${c.failed},"bytes":${c.bytes},"newUrls":${c.newUrls},""" +
-      s""""retries":${c.retries},"recrawls":${c.recrawls}}"""
+      s""""failed":${c.failed},"deferred":${c.deferred},"bytes":${c.bytes},""" +
+      s""""newUrls":${c.newUrls},"retries":${c.retries},"recrawls":${c.recrawls}}"""
     Files.write(countsPath(staging), json.getBytes(UTF_8))
   }
 
@@ -545,18 +611,25 @@ final class WaveRunner(
     val json = new String(Files.readAllBytes(p), UTF_8)
     def f(k: String): Long =
       s""""$k"\\s*:\\s*(-?\\d+)""".r.findFirstMatchIn(json).map(_.group(1).toLong).getOrElse(0L)
-    Some(StageCounts(f("scheduled"), f("fetched"), f("failed"), f("bytes"),
-      f("newUrls"), f("retries"), f("recrawls")))
+    Some(StageCounts(f("scheduled"), f("fetched"), f("failed"), f("deferred"),
+      f("bytes"), f("newUrls"), f("retries"), f("recrawls")))
   }
 
   private def commitMetrics(w: Int, staging: String, elapsedMs: Long): Unit = {
     if (metricsT.committedWave() >= w) return
-    val c = readCounts(staging).getOrElse(StageCounts(0, 0, 0, 0, 0, 0, 0))
-    val freshScheduled = c.scheduled - c.retries - c.recrawls
-    val pendingLeft = pendingLeftAfter(w, freshScheduled, c.newUrls)
-    pendingCache = Some(w -> pendingLeft)
-    val m = WaveMetrics(w, c.scheduled, c.fetched, c.scheduled - c.fetched,
-      c.bytes, c.newUrls, pendingLeft, elapsedMs)
+    val m = readCounts(staging) match {
+      case None =>
+        // staged counts lost (staging wiped between crash and resume):
+        // mark the gap with -1 counts instead of fabricating zeros; the
+        // pending ledger falls back to the exact anti-join next wave
+        WaveMetrics(w, -1, -1, -1, -1, -1, -1, -1, elapsedMs)
+      case Some(c) =>
+        val freshScheduled = c.scheduled - c.retries - c.recrawls
+        val pendingLeft = pendingLeftAfter(w, freshScheduled, c.newUrls)
+        pendingCache = Some(w -> pendingLeft)
+        WaveMetrics(w, c.scheduled, c.fetched, c.failed, c.deferred,
+          c.bytes, c.newUrls, pendingLeft, elapsedMs)
+    }
     metricsT.appendCommit(Seq(m).toDS().toDF(), w)
   }
 
@@ -573,7 +646,7 @@ final class WaveRunner(
         metricsT.read().flatMap { m =>
           m.filter(col("wave") === w - 1).select("frontierPending")
             .collect().headOption.map(_.getLong(0))
-        }
+        }.filter(_ >= 0L) // a -1 gap marker is not a usable ledger value
       case _ => None // wave 1: before = the seed count
     }
     before match {

@@ -89,6 +89,103 @@ object IvfIndex {
     }.sorted.take(nprobe).map(_._2).toArray
   }
 
+  // ---------- SQL-portable twin (round-3 item #4) ----------
+  //
+  // The float k-means above is NOT cross-engine reproducible: double
+  // means depend on summation order. The portable twin quantizes
+  // vectors to fixed-point BIGINTs (floor(x·10⁴ + 0.5) — exact in
+  // doubles, identical everywhere), so sums/distances are exact
+  // integers (order-independent), centroid components are
+  // floor(sum/count) (exact), argmin ties break by cluster id, and the
+  // ONLY floats left are the final rerank cosines — the same
+  // sequential-fold double arithmetic the oracle-green LSH path
+  // already proved matches DuckDB's list_dot_product bit-for-bit. The
+  // whole train → assign → probe → rerank pipeline is therefore
+  // statable (unrolled) as one SQL oracle.
+
+  /** Fixed-point scale: 4 decimal digits. */
+  val QScale = 10000.0
+
+  /** vec (array<float>) → quantized array<long>, exact both engines. */
+  def quantize(vec: Column): Column =
+    transform(vec, x => floor(x.cast("double") * QScale + 0.5d).cast("long"))
+
+  /** Exact integer L2² between a quantized column and a literal
+    * centroid (overflow-safe: |q| ≤ ~10⁵ ⇒ Σ diff² ≤ 2.6·10¹² « 2⁶³).
+    */
+  private def qDist(qv: Column, cent: Array[Long]): Column =
+    aggregate(zip_with(qv, typedLit(cent.toSeq), (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, x) => acc + x)
+
+  /** argmin over literal centroids, ties to the smallest cluster id
+    * (lexicographic array_min over (dist, cid) structs — one codegen'd
+    * expression, no join).
+    */
+  private def nearestCid(qv: Column, cents: Array[Array[Long]]): Column =
+    array_min(array(cents.zipWithIndex.map { case (c, i) =>
+      struct(qDist(qv, c).as("d"), lit(i).as("cid"))
+    }: _*)).getField("cid")
+
+  /** Deterministic portable k-means over (id, vec): seeds = the k rows
+    * with smallest (portableHash("seed:" + id), id); each Lloyd round
+    * assigns by exact integer distance and recomputes centroid
+    * components as floor(Σq / n) via one posexplode aggregate. Empty
+    * clusters keep their previous centroid. Driver state is k×dim
+    * longs — nothing data-sized ever collects.
+    */
+  def trainPortable(spark: SparkSession, corpus: DataFrame, k: Int,
+                    iterations: Int = 2): Array[Array[Long]] = {
+    import spark.implicits._
+    val qv = corpus.select(col("id"), quantize(col("vec")).as("qv"))
+    var cents: Array[Array[Long]] = qv
+      .withColumn("ph", graft.functions.TextAnalysis.portableHash(
+        concat(lit("seed:"), col("id").cast("string"))))
+      .orderBy(col("ph").asc, col("id").asc).limit(k)
+      .select("qv").as[Array[Long]].collect()
+    (0 until iterations).foreach { _ =>
+      val sums = qv
+        .withColumn("cid", nearestCid(col("qv"), cents))
+        .select(col("cid"), posexplode(col("qv")).as(Seq("pos", "v")))
+        .groupBy("cid", "pos")
+        .agg(floor(sum(col("v")).cast("double") / count(lit(1))).cast("long").as("m"))
+        .collect()
+      val next = cents.map(_.clone())
+      sums.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getLong(2))
+      cents = next
+    }
+    cents
+  }
+
+  /** Corpus with its portable inverted-file cluster column. */
+  def assignPortable(corpus: DataFrame, cents: Array[Array[Long]]): DataFrame =
+    corpus.withColumn("cluster", nearestCid(quantize(col("vec")), cents))
+
+  /** Portable probe + exact cosine rerank: nprobe nearest centroids by
+    * integer distance (ties to smaller cid), candidates from those
+    * inverted lists only (each corpus vector lives in exactly ONE list,
+    * so no candidate dedup is needed), float cosine rerank.
+    */
+  def topKPortable(queries: DataFrame, corpusAssigned: DataFrame,
+                   cents: Array[Array[Long]], k: Int, nprobe: Int): DataFrame = {
+    val probeStructs = array(cents.zipWithIndex.map { case (c, i) =>
+      struct(qDist(quantize(col("vec")), c).as("d"), lit(i).as("cid"))
+    }: _*)
+    val q = queries
+      .select(col("id").as("query_id"), col("vec").as("qvec"),
+        explode(transform(slice(sort_array(probeStructs), 1, nprobe),
+          s => s.getField("cid"))).as("cluster"))
+    val c = corpusAssigned.select(col("id").as("neighbor_id"),
+      col("vec").as("cvec"), col("cluster"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    q.join(c, Seq("cluster"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", Similarity.cosine(col("qvec"), col("cvec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
   /** Approximate cosine top-k: probe nprobe lists, exact rerank. */
   def topK(queries: DataFrame, corpusAssigned: DataFrame, model: Model,
            k: Int, nprobe: Int): DataFrame = {

@@ -135,11 +135,15 @@ object PostStore {
   /** Resolve version_number / is_latest over the appended segments:
     * version = rank of the row's save_wave within its key (append
     * order), is_latest = last one. One window over (key), exactly the
-    * read-side cost the eager mode paid at every write.
+    * read-side cost the eager mode paid at every write. Two appends of
+    * one key in the SAME wave get a deterministic order via a stable
+    * full-row hash tiebreaker (the eager mode resolved such ties at
+    * write time; a window tie here would be partition-order-dependent).
     */
   def resolveVersions(table: SnapshotTable, keyCol: String): Option[DataFrame] =
     table.read().map { df =>
-      val w = Window.partitionBy(keyCol).orderBy(col("save_wave").asc)
+      val rowTie = xxhash64(to_json(struct(df.columns.sorted.map(col): _*)))
+      val w = Window.partitionBy(keyCol).orderBy(col("save_wave").asc, rowTie.asc)
       val wAll = Window.partitionBy(keyCol)
       df.withColumn("version_number", row_number().over(w))
         .withColumn("is_latest",

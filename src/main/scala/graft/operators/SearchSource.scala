@@ -46,6 +46,9 @@ object SearchSource {
         concat(col("keyword"), lit(" "), col("queryterm")).as("term"))
     val bare = instances.filter(!col("apply_keywords"))
       .select(col("instance_id"), col("numresults"), col("queryterm").as("term"))
+    require(template.sliding(2).count(_ == "%s") == 2,
+      s"search template must contain exactly two %%s placeholders " +
+        s"(numresults, term); got: $template")
     val Array(prefix, rest) = template.split("%s", 2)
     val Array(mid, suffix) = rest.split("%s", 2)
     withKw.unionByName(bare)

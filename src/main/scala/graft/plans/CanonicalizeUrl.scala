@@ -61,8 +61,8 @@ object CanonicalizeUrl {
       "canonicalize_url", exprs => CanonicalizeUrl(exprs.head), "built-in")
 }
 
-/** Session extensions: registers `canonicalize_url` for SQL use.
-  * Attach with `.withExtensions(new GraftExtensions)` or
+/** Session extensions: registers `canonicalize_url` and `host_of` for
+  * SQL use. Attach with `.withExtensions(new GraftExtensions)` or
   * `spark.sql.extensions=graft.plans.GraftExtensions`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
@@ -71,5 +71,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new org.apache.spark.sql.catalyst.FunctionIdentifier("canonicalize_url"),
       new ExpressionInfo(classOf[CanonicalizeUrl].getName, "canonicalize_url"),
       (children: Seq[Expression]) => CanonicalizeUrl(children.head)))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("host_of"),
+      new ExpressionInfo(classOf[HostOf].getName, "host_of"),
+      (children: Seq[Expression]) => HostOf(children.head)))
   }
 }

@@ -85,6 +85,19 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(again === labels)
   }
 
+  test("connectedMinLabels: pointer halving converges a 1000-chain in O(log n)") {
+    // a 1000-vertex path graph has diameter 999 — plain one-hop
+    // propagation needs ~999 rounds; pointer halving must do it in
+    // ~log2(1000) ≈ 10 (bound 12, the round-2 verdict's criterion)
+    val n = 1000L
+    val vertices = spark.range(0, n).toDF("v")
+    val pairs = spark.range(0, n - 1)
+      .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
+    val labels = Dedup.connectedMinLabels(vertices, pairs, maxIterations = 12)
+    assert(labels.filter(col("label") =!= 0L).isEmpty,
+      "every chain vertex must flood to the component min (0)")
+  }
+
   test("transitive dedup keeps one doc per component (subset of one-pass)") {
     val kept = Dedup.minhashDedupTransitive(docs, "doc_id", "text", threshold = 0.5)
       .select("doc_id").collect().map(_.getLong(0)).toSet

@@ -52,6 +52,13 @@ class RetryAndRecrawlSpec extends AnyFunSuite {
     val st = runner.frontierStates().filter(col("url") === seedUrl)
       .select("state").collect().head.getString(0)
     assert(st === "fetched")
+    // metrics: a transient will-retry row is DEFERRED, not a failure
+    val w1 = runner.metrics().filter(col("wave") === 1)
+      .select("scheduled", "fetched", "failed", "deferred")
+      .collect().head
+    assert(w1.getLong(3) === 1L, s"wave-1 deferred must be 1, got $w1")
+    assert(w1.getLong(2) === w1.getLong(0) - w1.getLong(1) - w1.getLong(3),
+      s"failed must exclude deferred rows: $w1")
   }
 
   test("deferrals stop after maxFetchAttempts and stay deferred") {
@@ -70,6 +77,74 @@ class RetryAndRecrawlSpec extends AnyFunSuite {
     val st = runner.frontierStates().filter(col("url") === seedUrl)
       .select("state").collect().head.getString(0)
     assert(st === "deferred")
+  }
+
+  // ---- hierarchical session-info in the wave loop (round-3 item #3):
+  // an explicit 3-level tree corpus (root → children → grandchildren)
+  private def treePage(url: String, body: String, links: Seq[String]) =
+    graft.core.Model.PageInput(url, new java.sql.Timestamp(1600000000000L),
+      (s"<html><head><title>T $url</title></head><body><div><p>$body</p></div>" +
+        links.map(l => s"""<a href="$l">go</a>""").mkString("\n") +
+        "</body></html>").getBytes("UTF-8"), "", "en")
+
+  private val (rt, c1, c2, g1, g2) = ("http://a.test/r", "http://a.test/c1",
+    "http://a.test/c2", "http://a.test/g1", "http://a.test/g2")
+
+  private def treeCorpus(rootBody: String) = Seq(
+    treePage(rt, rootBody, Seq(c1, c2)),
+    treePage(c1, "child one paragraph with enough words to survive extraction", Seq(g1, g2)),
+    treePage(c2, "child two paragraph with enough words to survive extraction", Nil),
+    treePage(g1, "grand one paragraph with enough words to survive extraction", Nil),
+    treePage(g2, "grand two paragraph with enough words to survive extraction", Nil)).toDS().toDF()
+
+  private val treeCfg = CrawlConfig(maxDepth = 2, defaultMaxPerWave = 10,
+    maxWaves = 6, recrawlEveryWaves = 3)
+
+  test("recrawl subtree gate: an unchanged tree costs ONE root probe per cycle") {
+    val runner = new WaveRunner(spark,
+      treeCorpus("root paragraph with enough words to survive extraction"),
+      tmp("graft-subtree-"), treeCfg)
+    runner.initSeeds(Seq(rt -> 1))
+    runner.run()
+    // waves 1-3 walk the tree; wave 4 re-probes the root (due 1+3);
+    // the probe finds it UNCHANGED, so children (due wave 5) and
+    // grandchildren (due 6) never re-enter — the reference's
+    // skip-unchanged-subtree (htmlconnector.py:60-61) at wave grain
+    val n = runner.processedT.read().get.groupBy("url").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(n(rt) === 2L, s"root = initial fetch + one probe, got $n")
+    assert(Seq(c1, c2, g1, g2).forall(n(_) === 1L),
+      s"unchanged subtree must not re-extract, got $n")
+    val probe = runner.processedT.read().get
+      .filter(col("url") === rt && col("wave") === 4).collect().head
+    assert(!probe.getAs[Boolean]("changed"), "probe must report unchanged")
+  }
+
+  test("recrawl subtree gate: a changed root re-opens one level per wave") {
+    val state = tmp("graft-subtree-chg-")
+    val r1 = new WaveRunner(spark,
+      treeCorpus("root paragraph with enough words to survive extraction"),
+      state, treeCfg.copy(maxWaves = 3))
+    r1.initSeeds(Seq(rt -> 1))
+    r1.run()
+    // resume against a corpus whose ROOT content changed
+    val r2 = new WaveRunner(spark,
+      treeCorpus("rewritten root paragraph with freshly changed body text"),
+      state, treeCfg)
+    r2.run()
+    val p = r2.processedT.read().get
+    val n = p.groupBy("url").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // wave 4 probes root → CHANGED; wave 5 re-probes the children
+    // (parent probe is newer than their last fetch and changed); their
+    // content is unchanged, so grandchildren (due wave 6) stay gated
+    assert(n(rt) === 2L && n(c1) === 2L && n(c2) === 2L, s"got $n")
+    assert(n(g1) === 1L && n(g2) === 1L,
+      s"unchanged children must shield the grandchildren, got $n")
+    assert(p.filter(col("url") === rt && col("wave") === 4)
+      .collect().head.getAs[Boolean]("changed"), "root probe must see change")
+    assert(!p.filter(col("url") === c1 && col("wave") === 5)
+      .collect().head.getAs[Boolean]("changed"), "child probe sees no change")
   }
 
   test("re-crawl frequency gate: eligible only after recrawlEveryWaves") {

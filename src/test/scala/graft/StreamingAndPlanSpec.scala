@@ -112,8 +112,9 @@ class StreamingAndPlanSpec extends AnyFunSuite {
     val popped = (0L until 20L).map { i =>
       val u = SyntheticCorpus.urlFor(i, spec)
       (graft.core.Hashing.xxhash64(u), u, graft.core.UrlNormalizer.hostOf(u),
-        0, 1, 1000000L, 0)
-    }.toDF("urlHash", "url", "host", "depth", "priority", "score", "attempts")
+        0, 1, 1000000L, 0, null.asInstanceOf[String])
+    }.toDF("urlHash", "url", "host", "depth", "priority", "score", "attempts",
+      "priorHash")
     val df = fs.fetched(popped, poppedRows)
     assert(df.count() === 20) // execute so AQE finalizes the plan
     val nodes = planNodes(df.queryExecution.executedPlan)

@@ -73,6 +73,39 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert((m("a") intersect m("c")).isEmpty)
   }
 
+  test("winnowFingerprintsTokens matches a brute-force reference") {
+    // portable-hash reference computed imperatively on the driver
+    def ph(s: String): Long =
+      java.lang.Long.parseLong(graft.core.Hashing.md5Hex(s).take(8), 16)
+    def brute(text: String, k: Int, w: Int): (Int, Long, Long) = {
+      val toks = text.toLowerCase.split("[^a-z0-9_]+").filter(_.nonEmpty)
+      val fps: Set[Long] =
+        if (toks.length < k) Set(ph(toks.mkString(" ")))
+        else {
+          val grams = toks.sliding(k).map(g => ph(g.mkString(" "))).toArray
+          if (grams.length < w) Set(grams.min)
+          else grams.sliding(w).map(_.min).toSet
+        }
+      (fps.size, fps.min, fps.max)
+    }
+    val texts = Seq(
+      0L -> ("the quick brown fox jumps over the lazy dog near the river " +
+        "bank while the sun sets slowly behind the mountains tonight"),
+      1L -> "short one",                        // < k tokens
+      2L -> "",                                 // no tokens at all
+      3L -> "five tokens right here exactly",   // exactly k (one gram)
+      4L -> ("alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+        "lambda mu"))                           // k..k+w gram territory
+    val got = TextAnalysis.winnowFingerprintsTokens(
+        texts.toDF("doc_id", "text"), "doc_id", "text", k = 5, w = 8)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    texts.foreach { case (id, text) =>
+      assert(got(id) === brute(text, 5, 8), s"doc $id drifted")
+    }
+  }
+
   test("fingerprint is deterministic") {
     val fp = TextAnalysis.fingerprintUdf()
     val df = Seq("same text for both runs of this determinism check with words")
