@@ -8,9 +8,23 @@ import graft.core.Model.CrawlConfig
 import graft.crawl.{SyntheticCorpus, WaveRunner}
 
 /** Scaling experiment: work-dominated crawl (many seeds, 2 waves) on a
-  * fixed corpus at two core counts. Usage: ScaleProbe [nUrls] [cores...]
+  * fixed corpus at two core counts.
+  * Usage: ScaleProbe [nUrls] [bcast|bucket] [cores...]
   */
 object ScaleProbe {
+
+  var regime: String = "bcast"
+
+  def cfgFor(numUrls: Long, corpusBase: String): CrawlConfig = {
+    val base = CrawlConfig(maxDepth = 3, defaultMaxPerWave = 1000000,
+      maxWaves = 2, saltTarget = 20000L, assumeUniqueUrls = true,
+      broadcastPopRows = numUrls * 2)
+    if (regime == "bucket")
+      base.copy(fetchBuckets = 64,
+        fetchBucketDir = Some(s"$corpusBase-buckets64"),
+        broadcastPopRows = 0L, fetchIngestVerifyCount = false)
+    else base
+  }
   def newSession(cores: Int): SparkSession = {
     val s = SparkSession.builder()
       .master(s"local[$cores]")
@@ -44,9 +58,7 @@ object ScaleProbe {
         java.nio.file.Paths.get("/dev/shm") else java.nio.file.Paths.get("/tmp"),
       s"graft-probe-$label-").toString
     val runner = new WaveRunner(spark, spark.read.parquet(corpusPath), stateRoot,
-      CrawlConfig(maxDepth = 3, defaultMaxPerWave = 1000000, maxWaves = 2,
-        saltTarget = 20000L, assumeUniqueUrls = true,
-        broadcastPopRows = spec.numUrls * 2))
+      cfgFor(spec.numUrls, corpusPath))
     val step = math.max(1, (spec.numUrls / seedsN).toInt)
     runner.initSeeds((0L until spec.numUrls by step).map(i =>
       SyntheticCorpus.urlFor(i, spec) -> 1))
@@ -65,7 +77,8 @@ object ScaleProbe {
 
   def main(args: Array[String]): Unit = {
     val n = if (args.nonEmpty) args(0).toLong else 200000L
-    val coreList = if (args.length > 1) args.drop(1).map(_.toInt).toSeq else Seq(8, 32)
+    if (args.length > 1) regime = args(1)
+    val coreList = if (args.length > 2) args.drop(2).map(_.toInt).toSeq else Seq(8, 32)
     val spec = SyntheticCorpus.Spec(numUrls = n, numHosts = math.max(50, (n / 100).toInt))
     val corpusPath =
       (if (Files.isDirectory(java.nio.file.Paths.get("/dev/shm"))) "/dev/shm"
@@ -75,6 +88,10 @@ object ScaleProbe {
     if (!Files.exists(Paths.get(corpusPath, "_SUCCESS")))
       SyntheticCorpus.generate(prep, spec, partitions = 64)
         .write.mode("overwrite").parquet(corpusPath)
+    if (regime == "bucket" &&
+        !Files.exists(Paths.get(s"$corpusPath-buckets64", "_SUCCESS")))
+      new graft.crawl.FetchSource(prep, prep.read.parquet(corpusPath),
+        "/unused-state", cfgFor(n, corpusPath)).source.queryExecution
     // JIT warmup through the full code path (enough pages that C2
     // compiles the extract/link/normalize hot loops)
     run(prep, corpusPath, spec, seedsN = 1500, label = "warmup")
