@@ -186,10 +186,20 @@ object Model {
         * inputs leave this false (default) or use `fetchBuckets`,
         * whose ingest dedups once up front. */
       assumeUniqueUrls: Boolean = false,
-      /** > 0: merge the frontier/processed logs' segments into one
-        * every N waves (same rows, atomic flip) so a 10^4-wave crawl
-        * never reads 10^4 parquet directories per scan; 0 disables. */
-      compactEveryWaves: Int = 0,
+      /** > 0: every N waves, bound the frontier/processed/metrics
+        * logs' live segment count (see `compactMaxSegments`) so a
+        * 10^4-wave crawl never reads 10^4 parquet directories per
+        * scan; 0 disables. Default ON — the check is a manifest read
+        * when under the bound, so short crawls pay nothing. */
+      compactEveryWaves: Int = 8,
+      /** segment-count bound for the compaction check. > 1: LSM-style
+        * tiered merge of the SMALLEST segments once the count exceeds
+        * the bound — each row is rewritten O(log waves) times over the
+        * crawl, never O(waves/k) full-table rewrites (the write-
+        * amplification bound that matters when the processed log is
+        * most of 100 TB). 1: full single-segment merge every check
+        * (small states where one segment beats everything). */
+      compactMaxSegments: Int = 64,
       /** politeness wave clock: with a per-host crawl delay d (robots
         * Crawl-delay or HostPolicy), at most waveDurationMs/d URLs of
         * that host are schedulable per wave; 0 disables the delay gate

@@ -250,8 +250,15 @@ final class WaveRunner(
     commitMetrics(w, staging.toString, (System.nanoTime() - t0) / 1000000L)
     if (config.compactEveryWaves > 0 && w % config.compactEveryWaves == 0)
       timed(s"w$w compact") {
-        frontierT.compact()
-        processedT.compact()
+        if (config.compactMaxSegments > 1) {
+          frontierT.compactTiered(config.compactMaxSegments)
+          processedT.compactTiered(config.compactMaxSegments)
+          metricsT.compactTiered(config.compactMaxSegments)
+        } else {
+          frontierT.compact()
+          processedT.compact()
+          metricsT.compact()
+        }
       }
     true
   }

@@ -158,6 +158,45 @@ final class SnapshotTable(spark: SparkSession, root: String, val name: String) {
       next
     }
 
+  /** LSM-style tiered compaction: when more than `maxSegments` live
+    * segments exist, merge the SMALLEST ones (by on-disk bytes) into a
+    * single new segment, leaving the largest segments and the newest
+    * delta untouched. The count drops to ~maxSegments/2, so merges are
+    * infrequent, and because small segments merge into geometrically
+    * larger ones, each row is rewritten O(log n) times over an n-wave
+    * crawl — vs O(n/k) full-table rewrites for `compact()`, which is
+    * the difference between feasible and not when the log is most of
+    * 100 TB. The newest segment is never merged, so
+    * `readWaveSegment(committedWave)` still returns the latest delta.
+    * Crash-safe like any commit (atomic manifest flip, wave marker
+    * unchanged); old segments stay until `vacuum`. Returns the merged
+    * segment's version, or None when under the bound.
+    */
+  def compactTiered(maxSegments: Int): Option[Int] =
+    currentManifest().filter(_.segments.size > math.max(2, maxSegments)).flatMap { m =>
+      val newest = m.segments.last
+      val bySize = m.segments.init.sortBy(segmentBytes)
+      val k = bySize.size + 2 - math.max(1, maxSegments / 2)
+      if (k < 2) None
+      else {
+        val toMerge = bySize.take(k).toSet
+        val merged = spark.read.parquet(
+          m.segments.filter(toMerge).map(v => versionDir(v).toString): _*)
+        val next = m.version + 1
+        merged.write.mode(SaveMode.Overwrite).parquet(versionDir(next).toString)
+        // merged segment FIRST, survivors in original order: `.last`
+        // stays the newest delta for readWaveSegment
+        val segments = next +: m.segments.filterNot(toMerge)
+        writeManifest(Manifest(next, m.wave, segments,
+          listLineage(versionDir(next))))
+        Some(next)
+      }
+    }
+
+  private def segmentBytes(v: Int): Long =
+    Files.walk(versionDir(v)).iterator().asScala
+      .filter(Files.isRegularFile(_)).map(Files.size).sum
+
   /** Point the manifest back at an older version (rollback; replace
     * tables only).
     */

@@ -1,0 +1,89 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.state.SnapshotTable
+
+/** Long-crawl soak of the append-log compaction policy (VERDICT r2 #9):
+  * a 10^3-wave crawl appends 10^3 delta segments; under the default
+  * tiered policy the log must keep
+  *  - READ cost flat: live segment count never exceeds the bound plus
+  *    one check cadence (the per-scan cost driver is the number of
+  *    parquet directories a read unions);
+  *  - WRITE cost amortized: total rows rewritten by compaction stays
+  *    within a small constant of the data — the O(log n) tier bound —
+  *    never the O(n/k · n) of periodic full-table rewrites;
+  *  - correctness: no rows lost, newest delta still addressable, wave
+  *    marker preserved (resume logic reads it).
+  * Waves are simulated at the SnapshotTable layer with adoptCommit
+  * (what WaveRunner's commit phase does — an atomic rename, zero jobs)
+  * so the soak exercises 1000 real commits in seconds.
+  */
+class CompactionSoakSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-compaction-soak")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def copyDir(src: Path, dst: Path): Unit = {
+    Files.walk(src).iterator().asScala.foreach { p =>
+      val t = dst.resolve(src.relativize(p))
+      if (Files.isDirectory(p)) Files.createDirectories(t)
+      else {
+        Files.createDirectories(t.getParent)
+        Files.copy(p, t, StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+  }
+
+  test("1000-wave append log: bounded segments, O(log n) write amplification") {
+    val root = Files.createTempDirectory("graft-soak-").toString
+    val t = SnapshotTable(spark, root, "log")
+    // one 2-row delta written once, cloned per wave (adoptCommit renames
+    // the clone into the snapshot dir exactly like wave staging)
+    val template = Files.createTempDirectory("graft-soak-seg-")
+    spark.range(2).toDF("id").coalesce(1)
+      .write.mode("overwrite").parquet(template.toString)
+
+    val waves = 1000
+    val maxSegments = 64 // CrawlConfig.compactMaxSegments default
+    val checkEvery = 8   // CrawlConfig.compactEveryWaves default
+    var maxLive = 0
+    var rewrittenRows = 0L
+    (1 to waves).foreach { w =>
+      val staged = Paths.get(root, s"staged-$w")
+      copyDir(template, staged)
+      t.adoptCommit(staged.toString, w)
+      if (w % checkEvery == 0)
+        t.compactTiered(maxSegments).foreach { v =>
+          rewrittenRows += spark.read
+            .parquet(Paths.get(root, "log", "snapshots", f"v$v%05d").toString)
+            .count()
+        }
+      maxLive = math.max(maxLive, t.currentManifest().get.segments.size)
+    }
+
+    val totalRows = 2L * waves
+    assert(t.read().get.count() === totalRows, "compaction lost or duplicated rows")
+    assert(t.committedWave() === waves, "compaction must preserve the wave marker")
+    assert(maxLive <= maxSegments + checkEvery,
+      s"segment count must stay bounded (read cost): peaked at $maxLive")
+    // equal-size deltas merge into ~40x-bigger tiers, so each row is
+    // rewritten ~1-2x over 1000 waves; 4x total is generous headroom
+    // while still excluding any O(waves/k) full-rewrite policy (which
+    // would rewrite ~60x the data here)
+    assert(rewrittenRows <= 4 * totalRows,
+      s"write amplification too high: rewrote $rewrittenRows of $totalRows rows")
+    // the newest delta stays addressable after tiered merges
+    assert(t.readWaveSegment(waves).get.count() === 2L)
+  }
+}

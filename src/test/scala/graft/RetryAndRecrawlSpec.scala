@@ -254,7 +254,7 @@ class RetryAndRecrawlSpec extends AnyFunSuite {
     plain.run()
 
     val compacted = new WaveRunner(spark, corpus, tmp("graft-compact-"),
-      cfg.copy(compactEveryWaves = 2))
+      cfg.copy(compactEveryWaves = 2, compactMaxSegments = 1)) // full merge
     compacted.initSeeds(Seq(seedUrl -> 1, SyntheticCorpus.urlFor(3, spec) -> 2))
     compacted.run()
 
