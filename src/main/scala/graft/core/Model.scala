@@ -200,6 +200,14 @@ object Model {
         * most of 100 TB). 1: full single-segment merge every check
         * (small states where one segment beats everything). */
       compactMaxSegments: Int = 64,
+      /** seen-side broadcast gate for the URL-seen anti-joins (pending
+        * resolution and frontier expansion): when the sketch chain's
+        * running count proves the seen keys number at most this, the
+        * anti-join broadcasts the 8-byte keys and the candidate side
+        * (17M exploded links in a busy wave) never shuffles. Above the
+        * gate — the 10^10 regime — the bloom-prefiltered shuffled
+        * anti-join runs as before. 10M keys ≈ 80 MB relation. */
+      broadcastSeenKeys: Long = 10000000L,
       /** politeness wave clock: with a per-host crawl delay d (robots
         * Crawl-delay or HostPolicy), at most waveDurationMs/d URLs of
         * that host are schedulable per wave; 0 disables the delay gate

@@ -133,21 +133,30 @@ final class FetchSource(
     */
   def fetched(popped: DataFrame, poppedRows: Long): DataFrame = {
     val small = poppedRows <= config.broadcastPopRows
-    val p = if (small) broadcast(popped) else popped.hint("shuffle_hash")
+    // the broadcast relation is built SERIALLY on the driver — shed
+    // every byte it doesn't need: host is a pure function of the
+    // canonical url (host_of, codegen'd; ≡ UrlNormalizer.hostOf, the
+    // equivalence is test-pinned), so it is recomputed after the join
+    // instead of riding the broadcast
+    val p = if (small) broadcast(popped.drop("host")) else popped.hint("shuffle_hash")
     val joined = source
       .join(p, p("urlHash") === col("page_urlHash"), "inner")
     val cols =
-      Seq("url", "host", "depth", "priority", "score", "attempts", "priorHash")
-    if (bucketed || config.assumeUniqueUrls)
-      // bucketed ingest already deduped to one capture per url;
-      // assumeUniqueUrls declares the input a deduplicated snapshot
-      joined.select((col("urlHash") +: cols.map(col) :+ col("html")): _*)
-    else
-      joined
-        .groupBy(col("urlHash"))
-        .agg(max_by(struct((cols.map(col) :+ col("html")): _*),
-          struct(col("warc_ts"), xxhash64(col("html")))).as("r"))
-        .select((col("urlHash") +: cols.map(c => col(s"r.$c")) :+ col("r.html")): _*)
+      if (small) Seq("url", "depth", "priority", "score", "attempts", "priorHash")
+      else Seq("url", "host", "depth", "priority", "score", "attempts", "priorHash")
+    val out =
+      if (bucketed || config.assumeUniqueUrls)
+        // bucketed ingest already deduped to one capture per url;
+        // assumeUniqueUrls declares the input a deduplicated snapshot
+        joined.select((col("urlHash") +: cols.map(col) :+ col("html")): _*)
+      else
+        joined
+          .groupBy(col("urlHash"))
+          .agg(max_by(struct((cols.map(col) :+ col("html")): _*),
+            struct(col("warc_ts"), xxhash64(col("html")))).as("r"))
+          .select((col("urlHash") +: cols.map(c => col(s"r.$c")) :+ col("r.html")): _*)
+    if (small) out.withColumn("host", graft.plans.HostOf.host_of(col("url")))
+    else out
   }
 
 }

@@ -46,6 +46,13 @@ final class FrontierBloom(
       new String(Files.readAllBytes(metaPath(w))).trim.toLongOption
     else None
 
+  /** Running key count as of completed wave `w` (the sidecar meta is
+    * written every wave even when the bloom itself is cost-gated off).
+    * None when the chain has a gap (e.g. wiped state on resume) —
+    * callers must then assume the seen side is unbounded.
+    */
+  def count(w: Int): Option[Long] = readCount(w)
+
   /** The sketch consistent with the frontier as of completed wave `w`,
     * or None (→ caller uses the exact anti-join alone).
     */

@@ -306,7 +306,8 @@ final class WaveRunner(
           .withColumn("priorHash", lit(null).cast("string"))
       case Some(p) =>
         val fresh = SeenSet.notSeen(discoveries,
-            Some(p.select("urlHash")), popBloom.get(w - 1))
+            Some(p.select("urlHash")), popBloom.get(w - 1),
+            popBloom.count(w - 1), config.broadcastSeenKeys)
           .withColumn("attempts", lit(0))
           .withColumn("origin", lit("fresh"))
           .withColumn("priorHash", lit(null).cast("string"))
@@ -533,23 +534,32 @@ final class WaveRunner(
     val fetchedN = procObs.get("fetched").asInstanceOf[Long]
     val bytes = procObs.get("bytes").asInstanceOf[Long]
 
-    val failedRows =
-      if (fetchedN == 0L) emptyPage(toFetch, FrontierState.Failed)
-      else emptyPage(
-        toFetch.join(spark.read.parquet(s"$staging/processed").select("urlHash"),
-          Seq("urlHash"), "left_anti"), FrontierState.Failed)
-    val tail = (failedRows +:
-      deferred.map(d => emptyPage(d, FrontierState.Deferred)).toSeq)
-      .reduce(_.unionByName(_))
-    val tailObs = Observation(s"graft-tail-$w")
-    timed(s"w$w stage-misses")(
-      tail.withColumn("wave", lit(w))
-        .withColumn("nOutlinks", size(col("links")))
-        .observe(tailObs, count(lit(1)).as("n"),
-          count(when(col("state") === FrontierState.Deferred, 1)).as("deferred"))
-        .write.mode(SaveMode.Append).parquet(s"$staging/processed"))
-    val scheduled = fetchedN + tailObs.get("n").asInstanceOf[Long]
-    val deferredN = tailObs.get("deferred").asInstanceOf[Long]
+    // the observed counts prove completeness for free: popped keys are
+    // unique, so fetched == popped with no defer split means zero
+    // misses — skip the anti-join job entirely (it is near-serial: a
+    // staged re-read + tiny-row write that costs the same at 8 and 32
+    // cores, pure S-term in a fully-resolvable wave)
+    val (scheduled, deferredN) =
+      if (deferred.isEmpty && fetchedN == poppedN) (poppedN, 0L)
+      else {
+        val failedRows =
+          if (fetchedN == 0L) emptyPage(toFetch, FrontierState.Failed)
+          else emptyPage(
+            toFetch.join(spark.read.parquet(s"$staging/processed").select("urlHash"),
+              Seq("urlHash"), "left_anti"), FrontierState.Failed)
+        val tail = (failedRows +:
+          deferred.map(d => emptyPage(d, FrontierState.Deferred)).toSeq)
+          .reduce(_.unionByName(_))
+        val tailObs = Observation(s"graft-tail-$w")
+        timed(s"w$w stage-misses")(
+          tail.withColumn("wave", lit(w))
+            .withColumn("nOutlinks", size(col("links")))
+            .observe(tailObs, count(lit(1)).as("n"),
+              count(when(col("state") === FrontierState.Deferred, 1)).as("deferred"))
+            .write.mode(SaveMode.Append).parquet(s"$staging/processed"))
+        (fetchedN + tailObs.get("n").asInstanceOf[Long],
+          tailObs.get("deferred").asInstanceOf[Long])
+      }
 
     // ---- frontier expansion (E2) from the staged artifact (resume
     // never re-extracts): explode links, dedup, anti-join ----
@@ -569,7 +579,8 @@ final class WaveRunner(
         min(col("parentHash")).as("parentHash"))
 
     val frontierKeys = frontierT.read().get.select("urlHash")
-    val newEntries = SeenSet.notSeen(candidates, Some(frontierKeys), bloom.get(w - 1))
+    val newEntries = SeenSet.notSeen(candidates, Some(frontierKeys),
+        bloom.get(w - 1), bloom.count(w - 1), config.broadcastSeenKeys)
       .select(
         col("urlHash"), col("url"),
         // native expression (plans.HostOf): the expand projection stays

@@ -130,19 +130,21 @@ object TextAnalysis {
     val docsT = df.select(col(idCol), toks.as("tk"))
     val wLead = Window.partitionBy(idCol).orderBy("pos")
     val leadCols = (1 until k).map(i => lead(col("tok"), i).over(wLead).as(s"l$i"))
+    // complete-gram count per doc is known BEFORE the explode
+    // (size - k + 1) — carrying it as a column saves a third
+    // whole-partition WindowExec pass over the exploded grams
     val grams = docsT.filter(size(col("tk")) >= k)
-      .select(col(idCol), posexplode(col("tk")).as(Seq("pos", "tok")))
-      .select((col(idCol) +: col("pos") +: col("tok") +: leadCols): _*)
+      .withColumn("m", (size(col("tk")) - (k - 1)).cast("long"))
+      .select(col(idCol), col("m"), posexplode(col("tk")).as(Seq("pos", "tok")))
+      .select((col(idCol) +: col("m") +: col("pos") +: col("tok") +: leadCols): _*)
       .filter(col(s"l${k - 1}").isNotNull) // only complete k-grams
-      .select(col(idCol), col("pos"),
+      .select(col(idCol), col("m"), col("pos"),
         portableHash(concat_ws(" ",
           (col("tok") +: (1 until k).map(i => col(s"l$i"))): _*)).as("gh"))
     val slide = Window.partitionBy(idCol).orderBy("pos")
       .rowsBetween(Window.currentRow, w - 1)
-    val whole = Window.partitionBy(idCol)
     val big = grams
       .withColumn("wmin", min(col("gh")).over(slide))
-      .withColumn("m", count(lit(1)).over(whole))
       .filter(col("pos") <= greatest(col("m") - w, lit(0)))
       .groupBy(col(idCol))
       .agg(countDistinct(col("wmin")).cast("int").as("n_fingerprints"),

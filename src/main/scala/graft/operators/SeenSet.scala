@@ -34,15 +34,27 @@ object SeenSet {
 
   /** Candidates (keyed `urlHash`) minus seen (keyed `urlHash`).
     *
-    * Plan shape: candidates that the broadcast bloom says "definitely
-    * new" bypass the anti-join (no shuffle); the "maybe seen" rest —
-    * |true seen ∩ candidates| + fpp·|new| rows — goes through an exact
-    * left-anti join. Union of both is exact.
+    * Plan shape, smallest-cost-first:
+    *  - seen side provably ≤ `broadcastSeenMax` keys (`seenCount` hint,
+    *    from the sketch chain's running count — no counting job) → one
+    *    BROADCAST left-anti hash join: the candidate side never
+    *    shuffles at all. 8-byte keys make the relation ~80 MB even at
+    *    10^7 seen keys; a 17M-link expand stays entirely map-side.
+    *  - above the gate (the 10^10 regime — seen keys don't broadcast)
+    *    → candidates the broadcast bloom says "definitely new" bypass
+    *    the anti-join; the "maybe seen" rest — |true seen ∩ candidates|
+    *    + fpp·|new| rows — goes through an exact shuffled left-anti
+    *    join. Union of both is exact.
     */
   def notSeen(candidates: DataFrame, seen: Option[DataFrame],
-              bloom: Option[BloomFilter]): DataFrame = {
+              bloom: Option[BloomFilter],
+              seenCount: Option[Long] = None,
+              broadcastSeenMax: Long = 0L): DataFrame = {
     seen match {
       case None => candidates
+      case Some(seenDf) if seenCount.exists(_ <= broadcastSeenMax) =>
+        candidates.join(broadcast(seenDf.select("urlHash")),
+          Seq("urlHash"), "left_anti")
       case Some(seenDf) =>
         bloom match {
           case None =>
