@@ -107,13 +107,11 @@ object SparkEntry {
        |  ELSE list_distinct(list_transform(range(1, len(tk) - 1),
        |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) END) AS s
        | FROM toks),
-       |sigrows AS (
-       | SELECT doc_id, j,
-       |  min(('0x' || substr(md5(CAST(j AS varchar) || ':' || s), 1, 8))::BIGINT) AS mh
-       | FROM sh CROSS JOIN (SELECT unnest(range(0, 24)) AS j)
-       | GROUP BY doc_id, j),
        |sigs AS (
-       | SELECT doc_id, list(mh ORDER BY j) AS sig FROM sigrows GROUP BY doc_id),
+       | SELECT doc_id, [${(0 until 24).map(j =>
+             s"min(('0x' || substr(md5('${j / 4}:' || s), ${1 + 8 * (j % 4)}, 8))::BIGINT)")
+             .mkString(",\n  ")}] AS sig
+       | FROM sh GROUP BY doc_id),
        |banded AS (
        | SELECT doc_id, sig, b,
        |  md5(array_to_string(sig[b*3+1:b*3+3], ',')) AS bkey

@@ -338,15 +338,22 @@ object Dedup {
       .select(col("doc_id_"), concat_ws(" ", col("tk")).as("sh"))
     val shingles = bigShingles.unionByName(smallShingles).distinct()
 
-    val sigRows = shingles
-      .select(col("doc_id_"), col("sh"),
-        explode(sequence(lit(0), lit(numHashes - 1))).as("j"))
-      .withColumn("h", graft.functions.TextAnalysis.portableHash(
-        concat(col("j").cast("string"), lit(":"), col("sh"))))
-      .groupBy(col("doc_id_"), col("j")).agg(min(col("h")).as("mh"))
-    val sigs = sigRows.groupBy(col("doc_id_"))
-      .agg(transform(sort_array(collect_list(struct(col("j"), col("mh")))),
-        x => x.getField("mh")).as("sig"))
+    // all `numHashes` signature minima in ONE aggregate over the
+    // shingle rows — no numHashes× explode, no second assembly
+    // aggregate (round-2 shipped a (doc, j) explode: 24× the rows
+    // through the shuffle for the same 24 numbers). Permutation j's
+    // hash is 32-bit word j%4 of md5((j/4) ':' shingle): four
+    // independent words per md5, so 24 permutations cost 6 md5
+    // evaluations per shingle, and the ordered signature array falls
+    // straight out of the aggregate row.
+    val minCols = (0 until numHashes).map { j =>
+      min(conv(substring(md5(concat(lit(s"${j / 4}:"), col("sh"))),
+        1 + 8 * (j % 4), 8), 16, 10).cast("long")).as(s"mh$j")
+    }
+    val sigs = shingles.groupBy(col("doc_id_"))
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col("doc_id_"),
+        array((0 until numHashes).map(j => col(s"mh$j")): _*).as("sig"))
 
     val banded = sigs
       .select(col("doc_id_"), col("sig"),
