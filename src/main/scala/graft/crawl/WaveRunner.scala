@@ -564,10 +564,24 @@ final class WaveRunner(
     // ---- frontier expansion (E2) from the staged artifact (resume
     // never re-extracts): explode links, dedup, anti-join ----
     val sp = spark.read.parquet(s"$staging/processed")
-    val candidates = sp
+    val frontierKeys = frontierT.read().get.select("urlHash")
+    val seenCount = bloom.count(w - 1)
+    val preBroadcast = seenCount.exists(_ <= config.broadcastSeenKeys)
+    val links = sp
       .select(col("urlHash").as("parentHash"), col("depth"), col("priority"),
         explode(col("links")).as("url"))
       .withColumn("urlHash", xxhash64(col("url")))
+    // under the broadcast gate the seen filter runs BEFORE the dedup
+    // groupBy — exact (all rows of a key drop together, so it commutes
+    // with the per-key aggregate) and it keeps the already-discovered
+    // mass (most links, in a steady-state wave) out of the exchange
+    // entirely. Above the gate the dedup runs first so the shuffled
+    // anti-join probes distinct keys, not raw links.
+    val preFiltered =
+      if (preBroadcast)
+        links.join(broadcast(frontierKeys), Seq("urlHash"), "left_anti")
+      else links
+    val candidates = preFiltered
       // in-batch dedup (D4): deterministic representative per url —
       // min() everywhere (never first(), which is partition-order
       // dependent); lowest depth/priority wins = first-discovery rule,
@@ -578,9 +592,11 @@ final class WaveRunner(
         min(col("depth")).as("pdepth"), min(col("priority")).as("priority"),
         min(col("parentHash")).as("parentHash"))
 
-    val frontierKeys = frontierT.read().get.select("urlHash")
-    val newEntries = SeenSet.notSeen(candidates, Some(frontierKeys),
-        bloom.get(w - 1), bloom.count(w - 1), config.broadcastSeenKeys)
+    val unseen =
+      if (preBroadcast) candidates // already filtered before the groupBy
+      else SeenSet.notSeen(candidates, Some(frontierKeys),
+        bloom.get(w - 1), seenCount, config.broadcastSeenKeys)
+    val newEntries = unseen
       .select(
         col("urlHash"), col("url"),
         // native expression (plans.HostOf): the expand projection stays

@@ -191,10 +191,16 @@ object Politeness {
       .drop("rn1")
     val wHost = Window.partitionBy(col("host"))
       .orderBy(col("score").asc, col("urlHash").asc)
-    stage1
+    // hosts with one slot are already exactly their per-host top-k
+    // after stage 1 — only the (few, by construction) salted hosts
+    // need the second ranking pass, so the second window never scans
+    // the full pending set
+    val light = stage1.filter(col("saltSlots") <= 1).drop("salt_slot")
+    val heavy = stage1.filter(col("saltSlots") > 1)
       .withColumn("rn2", row_number().over(wHost))
       .filter(col("rn2") <= col("maxPerWave"))
       .drop("rn2", "salt_slot")
+    light.unionByName(heavy)
   }
 
   /** Deterministic per-host salt-slot count: ceil(pendingMass /

@@ -73,6 +73,19 @@ class CrawlEngineSpec extends AnyFunSuite {
     assert(orderRows(runner2) === baselineOrder)
   }
 
+  test("broadcast-exact seen joins ≡ shuffled anti-join path (gate parity)") {
+    // default config broadcasts the seen keys (counts are tiny here);
+    // force the 10^10 regime's shuffled path and require the identical
+    // crawl — the broadcastSeenKeys gate must never change results
+    val runner2 = new WaveRunner(spark,
+      spark.read.parquet(corpusPath),
+      Files.createTempDirectory("graft-state-noseenbc-").toString,
+      config.copy(broadcastSeenKeys = 0L), policies, robots)
+    runner2.initSeeds(seeds)
+    runner2.run()
+    assert(orderRows(runner2) === baselineOrder)
+  }
+
   test("URL-seen set and page text are identical across runs") {
     val other = spark.newSession()
     other.conf.set("spark.sql.shuffle.partitions", "9")
