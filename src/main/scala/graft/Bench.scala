@@ -153,7 +153,13 @@ object Bench {
     if (!Files.exists(Paths.get(bucketDir, "_SUCCESS")))
       new FetchSource(prep, prep.read.parquet(corpusPath), "/unused-state",
         bucketedCfg).source.queryExecution // force the one-time ingest
-    crawlBench(prep, corpusPath, seedsN = 1500, "warmup", broadcastCfg)
+    // JIT is JVM-global: a mid-size prep crawl (~1/16 of a timed run)
+    // triggers the profile-guided C2 recompiles that the small
+    // per-session warmups don't, so round-1 legs are no longer
+    // systematically sacrificial (every bench on record had its worst
+    // time in round 1 on every leg)
+    crawlBench(prep, corpusPath, seedsN = (ScaleUrls / 16).toInt,
+      "warmup", broadcastCfg)
     prep.stop()
 
     // ---- interleaved legs: (leg, regime) rotated within each round so
