@@ -174,8 +174,7 @@ final class SnapshotTable(spark: SparkSession, root: String, val name: String) {
     */
   def compactTiered(maxSegments: Int): Option[Int] =
     currentManifest().filter(_.segments.size > math.max(2, maxSegments)).flatMap { m =>
-      val newest = m.segments.last
-      val bySize = m.segments.init.sortBy(segmentBytes)
+      val bySize = m.segments.init.sortBy(segmentBytes) // init: newest never merges
       val k = bySize.size + 2 - math.max(1, maxSegments / 2)
       if (k < 2) None
       else {
