@@ -122,21 +122,23 @@ final class WaveRunner(
   private val popBloom = new FrontierBloom(stateRoot, config,
     () => processedT.read().map(_.select("urlHash")), subdir = "popbloom")
 
-  private def budgetFor = {
-    val policies = hostPolicies // stable closure capture
-    val default = config.defaultMaxPerWave
-    udf { (host: String) =>
-      policies.get(host).map(_.maxPerWave).getOrElse(default)
-    }
-  }
+  // host-policy lookups stay inside whole-stage codegen: a literal when
+  // no policies exist (the common case — the previous Scala UDF broke
+  // codegen for every pending row anyway), a small map expression
+  // otherwise (policies are per-host config, bounded by ops, not data)
+  private def budgetFor(host: Column): Column =
+    if (hostPolicies.isEmpty) lit(config.defaultMaxPerWave)
+    else coalesce(
+      element_at(
+        typedLit(hostPolicies.map { case (h, p) => h -> p.maxPerWave }), host),
+      lit(config.defaultMaxPerWave))
 
-  private def policyDelayFor = {
-    val policies = hostPolicies
-    val default = config.defaultCrawlDelayMs
-    udf { (host: String) =>
-      policies.get(host).map(_.crawlDelayMs).getOrElse(default)
-    }
-  }
+  private def policyDelayFor(host: Column): Column =
+    if (hostPolicies.isEmpty) lit(config.defaultCrawlDelayMs)
+    else coalesce(
+      element_at(
+        typedLit(hostPolicies.map { case (h, p) => h -> p.crawlDelayMs }), host),
+      lit(config.defaultCrawlDelayMs))
 
   /** Initialize the frontier from a seed list (url, priority). Two
     * seeds canonicalizing to the same URL keep one deterministic
