@@ -200,6 +200,13 @@ object Model {
         * most of 100 TB). 1: full single-segment merge every check
         * (small states where one segment beats everything). */
       compactMaxSegments: Int = 64,
+      /** drop merged-away segment directories right after a compaction
+        * (only non-live segments are ever deleted, so resume/crash
+        * safety is unaffected — the manifest-pointed segments always
+        * survive). Off, a 10^4-wave crawl's state dir grows without
+        * bound as every compaction leaves its inputs behind; on, disk
+        * stays O(live table). Costs the time-travel/rollback window. */
+      vacuumOnCompact: Boolean = true,
       /** seen-side broadcast gate for the URL-seen anti-joins (pending
         * resolution and frontier expansion): when the sketch chain's
         * running count proves the seen keys number at most this, the

@@ -261,6 +261,11 @@ final class WaveRunner(
           processedT.compact()
           metricsT.compact()
         }
+        if (config.vacuumOnCompact) {
+          frontierT.vacuum()
+          processedT.vacuum()
+          metricsT.vacuum()
+        }
       }
     true
   }

@@ -68,6 +68,7 @@ class CompactionSoakSpec extends AnyFunSuite {
           rewrittenRows += spark.read
             .parquet(Paths.get(root, "log", "snapshots", f"v$v%05d").toString)
             .count()
+          t.vacuum() // the wave loop's vacuumOnCompact default
         }
       maxLive = math.max(maxLive, t.currentManifest().get.segments.size)
     }
@@ -85,5 +86,11 @@ class CompactionSoakSpec extends AnyFunSuite {
       s"write amplification too high: rewrote $rewrittenRows of $totalRows rows")
     // the newest delta stays addressable after tiered merges
     assert(t.readWaveSegment(waves).get.count() === 2L)
+    // vacuum after compaction keeps DISK bounded too: merged-away
+    // segment dirs are gone, so on-disk dirs track the live set (live
+    // + deltas appended since the last compaction check)
+    val onDisk = Files.list(Paths.get(root, "log", "snapshots")).count()
+    assert(onDisk <= maxSegments + checkEvery,
+      s"vacuum must bound on-disk segment dirs: $onDisk")
   }
 }
