@@ -75,6 +75,7 @@ object SparkEntry {
     "q_quality_score" -> (qQualityScore(_, _)),
     "q_text_profile" -> (qTextProfile(_, _)),
     "q_stopword_ratio" -> (qStopwordRatio(_, _)),
+    "q_top_terms" -> (qTopTerms(_, _)),
     "q_fingerprint" -> (qFingerprint(_, _)),
     // dedup family
     "q_dedup_exact" -> (qDedupExact(_, _)),
@@ -353,6 +354,24 @@ object SparkEntry {
       """SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN 0
         | ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
         |FROM documents""".stripMargin,
+    "q_top_terms" ->
+      """WITH toks AS (
+        | SELECT doc_id, unnest(list_filter(
+        |   regexp_split_to_array(lower(text), '[^a-z0-9_'']+'),
+        |   x -> length(x) > 0)) AS term
+        | FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dfreq AS (SELECT term, count(*) AS doc_freq FROM tf GROUP BY 1),
+        |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+        |ranked AS (
+        | SELECT t.doc_id, t.term,
+        |  t.tf * (n.n_docs - d.doc_freq + 1) AS score,
+        |  row_number() OVER (PARTITION BY t.doc_id
+        |    ORDER BY t.tf * (n.n_docs - d.doc_freq + 1) DESC, t.term ASC) AS rank
+        | FROM tf t JOIN dfreq d USING (term) CROSS JOIN n)
+        |SELECT doc_id, term, CAST(score AS BIGINT) AS score,
+        | CAST(rank AS int) AS rank
+        |FROM ranked WHERE rank <= 3""".stripMargin,
     "q_token_stats" ->
       """SELECT lang, CAST(sum(n) AS bigint) AS total_tokens,
         | round(avg(n), 4) AS avg_tokens

@@ -157,6 +157,38 @@ object TextAnalysis {
     big.unionByName(small)
   }
 
+  /** Per-document top-k characteristic terms — the document-keyword
+    * extraction step of a training-data pipeline (salient-term tagging,
+    * cluster labeling). Ranking weight is the INTEGER idf surrogate
+    * `tf · (N − df + 1)` (tf = term count in the doc, df = documents
+    * containing the term, N = corpus size): monotone in tf and
+    * anti-monotone in df exactly like tf·idf, but pure integer
+    * arithmetic — bit-exact across engines, no float-log ulp flipping
+    * ranks at ties (ties break deterministically by term asc). Scale
+    * shape: one (doc, term) aggregate, a broadcast-joined term
+    * dimension, and a per-doc top-k window.
+    */
+  def topTerms(df: org.apache.spark.sql.DataFrame, idCol: String,
+               textCol: String, k: Int = 3): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = filter(split(lower(col(textCol)), "[^a-z0-9_']+"),
+      t => length(t) > 0)
+    val tf = df.select(col(idCol), explode(toks).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("doc_freq"))
+    val n = df.select(count_distinct(col(idCol)).as("n_docs"))
+    val w = Window.partitionBy(idCol)
+      .orderBy(col("score").desc, col("term").asc)
+    tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score", col("tf") * (col("n_docs") - col("doc_freq") + 1))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("term"), col("score").cast("long").as("score"),
+        col("rank"))
+  }
+
   /** Winnowing document fingerprint: rolling xxhash64 over `k`-token
     * windows, keep the minimum of every `w`-window (local minima), and
     * return the sorted distinct selected hashes. Robust to small edits

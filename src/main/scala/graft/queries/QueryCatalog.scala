@@ -404,6 +404,12 @@ object QueryCatalog {
       .agg(sum(TextAnalysis.tokenCount(col("text"))).as("total_tokens"),
         round(avg(TextAnalysis.tokenCount(col("text"))), 4).as("avg_tokens"))
 
+  /** Per-doc top-3 characteristic terms, integer idf surrogate
+    * ([[TextAnalysis.topTerms]]).
+    */
+  def qTopTerms(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.topTerms(t(spark, dir, "documents"), "doc_id", "text", k = 3)
+
   /** Cross-engine-expressible quality components, integer arithmetic
     * only (float round-half ties flip between engines at exactly the
     * 4th decimal — integer division can't).

@@ -112,4 +112,23 @@ class TextAnalysisSpec extends AnyFunSuite {
       .toDF("text").select(fp($"text").as("fp"))
     assert(df.collect().head.getSeq[Long](0) === df.collect().head.getSeq[Long](0))
   }
+
+  test("topTerms ranks rare-and-frequent terms first, ties by term asc") {
+    // corpus of 3 docs: "common" is in every doc (df=3), "rare" only in
+    // doc 1 (df=1). With N=3: score(rare in d1) = 2*(3-1+1) = 6 beats
+    // score(common in d1) = 3*(3-3+1) = 3 despite higher tf.
+    val docs = Seq(
+      1L -> "rare rare common common common",
+      2L -> "common beta beta",
+      3L -> "common gamma").toDF("doc_id", "text")
+    val top = TextAnalysis.topTerms(docs, "doc_id", "text", k = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> (r.getString(1), r.getLong(2)))
+      .toMap
+    assert(top((1L, 1)) === ("rare", 6L))
+    assert(top((1L, 2)) === ("common", 3L))
+    assert(top((2L, 1)) === ("beta", 6L))  // tf=2, df=1 -> 2*3
+    assert(top((3L, 1)) === ("gamma", 3L)) // tf=1, df=1 -> 1*3
+    // tie case: in doc 3, common scores 1*(3-3+1)=1 -> rank 2
+    assert(top((3L, 2)) === ("common", 1L))
+  }
 }
