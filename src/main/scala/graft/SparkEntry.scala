@@ -76,6 +76,7 @@ object SparkEntry {
     "q_text_profile" -> (qTextProfile(_, _)),
     "q_stopword_ratio" -> (qStopwordRatio(_, _)),
     "q_top_terms" -> (qTopTerms(_, _)),
+    "q_sessionize" -> (qSessionize(_, _)),
     "q_fingerprint" -> (qFingerprint(_, _)),
     // dedup family
     "q_dedup_exact" -> (qDedupExact(_, _)),
@@ -354,6 +355,8 @@ object SparkEntry {
       """SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN 0
         | ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
         |FROM documents""".stripMargin,
+    "q_sessionize" ->
+      graft.streaming.Sessionize.batchSessionsOracleSql(21600L),
     "q_top_terms" ->
       """WITH toks AS (
         | SELECT doc_id, unnest(list_filter(

@@ -404,6 +404,13 @@ object QueryCatalog {
       .agg(sum(TextAnalysis.tokenCount(col("text"))).as("total_tokens"),
         round(avg(TextAnalysis.tokenCount(col("text"))), 4).as("avg_tokens"))
 
+  /** Gap-timeout sessionization (6 h), batch twin of the
+    * flatMapGroupsWithState streaming operator
+    * ([[graft.streaming.Sessionize]]).
+    */
+  def qSessionize(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.Sessionize.batchSessions(t(spark, dir, "events"), 21600L)
+
   /** Per-doc top-3 characteristic terms, integer idf surrogate
     * ([[TextAnalysis.topTerms]]).
     */

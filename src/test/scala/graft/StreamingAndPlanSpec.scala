@@ -187,4 +187,48 @@ class StreamingAndPlanSpec extends AnyFunSuite {
     val batch = spark.read.parquet(s"$sfDir/events.parquet").count()
     assert(streamed === batch)
   }
+
+  test("flatMapGroupsWithState sessionization agrees with the batch twin") {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.streaming.Sessionize
+    val gapSeconds = 21600L
+    val streamDir = Files.createTempDirectory("graft-sessstream-")
+    Files.copy(java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val stream = spark.readStream.schema(schema).parquet(streamDir.toString)
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", "0 seconds")
+    val q = Sessionize.streamingSessions(
+        Sessionize.toEvents(spark, stream), gapSeconds)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sessions_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    val streamed = spark.sql(
+      "select user_id, session_start_us, session_end_us, n_events, value_cents" +
+        " from sessions_out").collect().map(key).toSet
+    val batchAll = Sessionize.batchSessions(
+        spark.read.parquet(s"$sfDir/events.parquet"), gapSeconds)
+      .select("user_id", "session_start_us", "session_end_us", "n_events",
+        "value_cents", "session_seq")
+    val batchRows = batchAll.collect()
+    val all: Map[(Long, Long, Long, Long, Long), Int] =
+      batchRows.map(r => key(r) -> r.getInt(5)).toMap
+    val maxSeqPerUser: Map[Long, Int] = batchRows.groupBy(_.getLong(0))
+      .map { case (u, rs) => u -> rs.map(_.getInt(5)).max }
+    // every streamed session must be a real batch session...
+    assert(streamed.subsetOf(all.keySet), "phantom streamed session")
+    // ...and every session BEFORE each user's final one must have been
+    // emitted (the final session closes only if the end-of-stream
+    // timeout batch fired, which AvailableNow does not guarantee)
+    val mustEmit = all.collect {
+      case (k, seq) if seq < maxSeqPerUser(k._1) => k
+    }.toSet
+    assert(mustEmit.subsetOf(streamed),
+      s"missing closed sessions: ${(mustEmit -- streamed).take(3)}")
+    assert(streamed.nonEmpty, "stream emitted nothing")
+  }
 }
