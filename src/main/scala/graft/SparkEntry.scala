@@ -77,6 +77,7 @@ object SparkEntry {
     "q_stopword_ratio" -> (qStopwordRatio(_, _)),
     "q_top_terms" -> (qTopTerms(_, _)),
     "q_sessionize" -> (qSessionize(_, _)),
+    "q_contamination" -> (qContamination(_, _)),
     "q_fingerprint" -> (qFingerprint(_, _)),
     // dedup family
     "q_dedup_exact" -> (qDedupExact(_, _)),
@@ -357,6 +358,22 @@ object SparkEntry {
         |FROM documents""".stripMargin,
     "q_sessionize" ->
       graft.streaming.Sessionize.batchSessionsOracleSql(21600L),
+    "q_contamination" ->
+      """WITH toks AS (
+        | SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+        |   '[^a-z0-9_]+'), x -> length(x) > 0) AS tk
+        | FROM documents),
+        |grams AS (
+        | SELECT doc_id, unnest(list_distinct(list_transform(
+        |   range(1, len(tk) - 8 + 2),
+        |   i -> md5(array_to_string(tk[i:i+7], ' '))))) AS gk
+        | FROM toks WHERE len(tk) >= 8),
+        |bench AS (SELECT doc_id AS bench_id, gk FROM grams WHERE doc_id % 20 = 0)
+        |SELECT d.doc_id, count(DISTINCT d.gk) AS shared_grams,
+        | count(DISTINCT b.bench_id) AS bench_docs_hit
+        |FROM grams d JOIN bench b USING (gk)
+        |WHERE d.doc_id <> b.bench_id
+        |GROUP BY 1""".stripMargin,
     "q_top_terms" ->
       """WITH toks AS (
         | SELECT doc_id, unnest(list_filter(

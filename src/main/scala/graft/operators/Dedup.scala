@@ -376,6 +376,55 @@ object Dedup {
       .select("id_a", "id_b", "est_jaccard")
   }
 
+  /** Benchmark decontamination: exact token-`k`-gram overlap between
+    * corpus documents and a benchmark set — the standard train/test
+    * contamination check of an LLM data pipeline (a document sharing
+    * any verbatim k-gram with an evaluation document must be flagged
+    * or dropped before training). Distinct from the similarity family:
+    * this is exact containment, not approximate resemblance.
+    *
+    * Scale shape: grams join on md5(gram) (fixed 32-char key, no
+    * collision at any realistic corpus size); the benchmark side is
+    * small by nature (an eval suite) and broadcasts — the corpus side
+    * never shuffles. Returns one row per CONTAMINATED corpus doc:
+    * (doc_id_, shared_grams, bench_docs_hit).
+    *
+    * `benchDocs` supplies the benchmark membership (same id/text
+    * shape); corpus rows that are themselves benchmark rows are
+    * excluded from flagging (self-overlap is not contamination).
+    */
+  def contamination(df: DataFrame, benchDocs: DataFrame, idCol: String,
+                    textCol: String, k: Int = 8): DataFrame = {
+    val grams = tokenGramKeys(df, idCol, textCol, k)
+    val bench = tokenGramKeys(benchDocs, idCol, textCol, k)
+      .select(col("doc_id_").as("bench_id"), col("gk"))
+    grams.join(broadcast(bench), Seq("gk"))
+      .filter(col("doc_id_") =!= col("bench_id"))
+      .groupBy(col("doc_id_"))
+      .agg(countDistinct(col("gk")).as("shared_grams"),
+        countDistinct(col("bench_id")).as("bench_docs_hit"))
+  }
+
+  /** Distinct (doc, md5(token k-gram)) pairs — posexplode + window
+    * lead (the relational shape; an array-lambda formulation would
+    * re-inline the token array per element).
+    */
+  private def tokenGramKeys(df: DataFrame, idCol: String, textCol: String,
+                            k: Int): DataFrame = {
+    val toks = filter(split(lower(col(textCol)), "[^a-z0-9_]+"),
+      t => length(t) > 0)
+    val w = Window.partitionBy("doc_id_").orderBy("pos")
+    val leadCols = (1 until k).map(i => lead(col("tok"), i).over(w).as(s"l$i"))
+    df.select(col(idCol).as("doc_id_"), toks.as("tk"))
+      .filter(size(col("tk")) >= k)
+      .select(col("doc_id_"), posexplode(col("tk")).as(Seq("pos", "tok")))
+      .select((col("doc_id_") +: col("tok") +: leadCols): _*)
+      .filter(col(s"l${k - 1}").isNotNull)
+      .select(col("doc_id_"), md5(concat_ws(" ",
+        (col("tok") +: (1 until k).map(i => col(s"l$i"))): _*)).as("gk"))
+      .distinct()
+  }
+
   /** SQL-portable SimHash sketch, PURE CATALYST: per-token 32-bit
     * [[graft.functions.TextAnalysis.portableHash]] votes on each bit
     * (majority wins). Bit extraction is power-of-two arithmetic

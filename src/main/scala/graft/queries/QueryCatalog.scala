@@ -404,6 +404,18 @@ object QueryCatalog {
       .agg(sum(TextAnalysis.tokenCount(col("text"))).as("total_tokens"),
         round(avg(TextAnalysis.tokenCount(col("text"))), 4).as("avg_tokens"))
 
+  /** Benchmark decontamination over the documents table: corpus docs
+    * sharing any verbatim 8-token-gram with the deterministic
+    * benchmark subset (doc_id % 20 == 0).
+    */
+  def qContamination(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    Dedup.contamination(docs, docs.filter(col("doc_id") % 20 === 0),
+        "doc_id", "text", k = 8)
+      .select(col("doc_id_").as("doc_id"), col("shared_grams"),
+        col("bench_docs_hit"))
+  }
+
   /** Gap-timeout sessionization (6 h), batch twin of the
     * flatMapGroupsWithState streaming operator
     * ([[graft.streaming.Sessionize]]).

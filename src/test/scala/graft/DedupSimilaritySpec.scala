@@ -39,6 +39,26 @@ class DedupSimilaritySpec extends AnyFunSuite {
     rows.toDF("doc_id", "text")
   }
 
+  test("contamination flags verbatim k-gram overlap with the benchmark, not paraphrase") {
+    import graft.operators.Dedup
+    val bench = Seq(
+      100L -> "the quick brown fox jumps over the lazy dog tonight again").toDF("doc_id", "text")
+    val corpus = Seq(
+      // contains the benchmark's 8-gram verbatim -> contaminated
+      1L -> "prefix words the quick brown fox jumps over the lazy dog tonight again suffix",
+      // same vocabulary, different order -> clean
+      2L -> "dog lazy the over jumps fox brown quick the again tonight",
+      // unrelated -> clean
+      3L -> "completely different content with no overlap at all whatsoever here",
+      // benchmark doc itself present in the corpus -> self, not flagged
+      100L -> "the quick brown fox jumps over the lazy dog tonight again")
+      .toDF("doc_id", "text")
+    val hits = Dedup.contamination(corpus, bench, "doc_id", "text", k = 8)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(hits.keySet === Set(1L))
+    assert(hits(1L)._1 >= 1L && hits(1L)._2 === 1L)
+  }
+
   test("exact dedup keeps the min id of each duplicate group") {
     val kept = Dedup.exactDedup(docs, "doc_id", "text")
       .select("doc_id").collect().map(_.getLong(0)).toSet
