@@ -133,8 +133,14 @@ object Sessionize {
             }
             open.foreach { o =>
               state.update(o)
-              // close when the watermark passes end + gap
-              state.setTimeoutTimestamp(o.endUs / 1000L + gapSeconds * 1000L)
+              // close when the watermark passes end + gap; clamped just
+              // past the current watermark — a session whose last event
+              // arrived with event time already gap-behind the watermark
+              // would otherwise compute a timeout in the past, which
+              // setTimeoutTimestamp rejects
+              state.setTimeoutTimestamp(math.max(
+                o.endUs / 1000L + gapSeconds * 1000L,
+                state.getCurrentWatermarkMs() + 1L))
             }
             closed.result().iterator
           }
