@@ -21,7 +21,9 @@ import graft.crawl.{FetchSource, SyntheticCorpus, WaveRunner}
   *       - the two legs are INTERLEAVED (c8,c32 / c32,c8 / c8,c32 …)
   *         so one host-load spike cannot own a whole leg and the
   *         leg order cannot bias the ratio;
-  *       - each leg is best-of-`Rounds` (min wall time damps noise);
+  *       - each (leg, regime) gets exactly `Rounds` timed samples —
+  *         SYMMETRIC by construction (round-3 verdict #1); the
+  *         headline is the MEDIAN (min reported alongside);
   *       - each session runs one small warm-up crawl first so neither
   *         timed run pays JIT/codegen;
   *       - the BUCKETED fetch regime (the designed 10^10 scale path:
@@ -41,7 +43,9 @@ object Bench {
     */
   val ScaleUrls: Long = sys.env.getOrElse("SPARK_GRAFT_BENCH_URLS", "2400000").toLong
 
-  /** Timed measurements per (leg, regime); best (min) wall time wins. */
+  /** Timed measurements per (leg, regime) — SAME for both regimes;
+    * medians are the headline, mins reported alongside.
+    */
   val Rounds: Int = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "3").toInt
 
   /** Bucket count of the shared bucketed fetch table (2 tasks/core at
@@ -163,42 +167,93 @@ object Bench {
     prep.stop()
 
     // ---- interleaved legs: (leg, regime) rotated within each round so
-    // neither host drift nor run order can own a leg. The bucketed
-    // regime — the designed scale path and usual headline — gets one
-    // extra sample per leg and the broadcast regime one fewer (same
-    // total wall): host-neighbor load arrives in ~10-minute spikes, so
-    // extra samples are extra chances for the decisive legs to land in
-    // a quiet window. Every raw leg time is still reported. ----
+    // neither host drift nor run order can own a leg. SYMMETRIC
+    // protocol (round-3 verdict #1): both regimes get exactly `Rounds`
+    // timed samples per leg, the headline regime is chosen by MEDIAN
+    // at the big leg, and the headline throughput / scaling efficiency
+    // are computed from MEDIANS (min reported alongside; every raw leg
+    // time is still reported). Min-of-unequal-samples is stochastically
+    // biased under host noise and is gone. ----
     val legs = scala.collection.mutable.Map
       .empty[(Int, String), List[Double]].withDefaultValue(Nil)
     var urlsCrawled = 0L
-    val roundsOf = Map("bcast" -> math.max(1, Rounds - 1), "bucket" -> (Rounds + 1))
-    (1 to roundsOf.values.max).foreach { r =>
+    (1 to Rounds).foreach { r =>
       val order = if (r % 2 == 0) Seq(cores, smallCores) else Seq(smallCores, cores)
       order.foreach { c =>
         Seq("bcast" -> broadcastCfg, "bucket" -> bucketedCfg).foreach {
-          case (regime, cfg) if r <= roundsOf(regime) =>
+          case (regime, cfg) =>
             val (urls, sec) = measure(c, corpusPath, s"c$c-$regime-r$r", cfg)
             urlsCrawled = urls
             legs((c, regime)) = legs((c, regime)) :+ sec
-          case _ => ()
         }
       }
     }
+    def median(xs: List[Double]): Double = {
+      val s = xs.sorted
+      val n = s.size
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+    }
+    def med(c: Int, regime: String): Double = median(legs((c, regime)))
     def best(c: Int, regime: String): Double = legs((c, regime)).min
     def runsJson(c: Int, regime: String): String =
       legs((c, regime)).map(t => f"$t%.2f").mkString("[", ",", "]")
 
-    // headline regime = the faster of the two at the big leg (both are
-    // fully reported; the bucketed one is the designed 10^10 path)
+    // headline regime = the faster of the two at the big leg BY MEDIAN
+    // (both are fully reported; the bucketed one is the designed 10^10
+    // path)
     val headline =
-      if (best(cores, "bucket") <= best(cores, "bcast")) "bucket" else "bcast"
-    val secBig = best(cores, headline)
-    val secSmall = best(smallCores, headline)
+      if (med(cores, "bucket") <= med(cores, "bcast")) "bucket" else "bcast"
+    val secBig = med(cores, headline)
+    val secSmall = med(smallCores, headline)
     val tputBig = urlsCrawled / secBig
     val tputSmall = urlsCrawled / secSmall
     val speedup = secSmall / secBig
     val efficiency = speedup / (cores.toDouble / smallCores)
+
+    // ---- supplementary: the multi-capture fetch path under timing
+    // (round-3 verdict #6). A half-size corpus written with TWO
+    // captures per url exercises the `max_by(warc_ts)` latest-capture
+    // dedup inside the plain fetch join (FetchSource) that
+    // assumeUniqueUrls=true skips. One timed big-leg sample — a cost
+    // probe, not a headline. ----
+    val mcUrls = ScaleUrls / 4
+    val mcPath = s"$base/graft-bench-corpus-mc-$mcUrls"
+    val mcSpec = SyntheticCorpus.Spec(
+      numUrls = mcUrls, numHosts = math.max(50, (mcUrls / 100).toInt))
+    val mcPrep = newSession(cores)
+    if (!Files.exists(Paths.get(mcPath, "_SUCCESS"))) {
+      val one = SyntheticCorpus.generate(mcPrep, mcSpec, partitions = cores * 2).toDF()
+      // second capture: same urls, one-day-older warc_ts — the dedup
+      // must pick the NEWER capture of each url
+      val older = one.withColumn("warc_ts",
+        org.apache.spark.sql.functions.col("warc_ts") -
+          org.apache.spark.sql.functions.expr("INTERVAL 1 DAY"))
+      one.unionByName(older).write.mode("overwrite").parquet(mcPath)
+    }
+    mcPrep.stop()
+    val mcCfg = broadcastCfg.copy(assumeUniqueUrls = false,
+      broadcastPopRows = mcUrls * 2)
+    val (mcCrawled, mcSec) = {
+      val s = newSession(cores)
+      try {
+        val stateRoot = Files.createTempDirectory(
+          if (shmOk) Paths.get("/dev/shm") else Paths.get("/tmp"),
+          "graft-bench-mc-").toString
+        val runner = new WaveRunner(s, s.read.parquet(mcPath), stateRoot, mcCfg)
+        val step = math.max(1, 4)
+        runner.initSeeds((0L until mcSpec.numUrls by step).map(i =>
+          SyntheticCorpus.urlFor(i, mcSpec) -> 1))
+        val t0 = System.nanoTime()
+        runner.run()
+        val sec = (System.nanoTime() - t0) / 1e9
+        val urls = runner.crawlOrder().count() + runner.pages().count()
+        try {
+          import scala.sys.process._
+          Seq("rm", "-rf", stateRoot).!
+        } catch { case _: Exception => }
+        (urls, sec)
+      } finally s.stop()
+    }
 
     // ---- query timings (fresh big-core session) ----
     // a crashing query must NOT be silently recorded as a fast success:
@@ -223,8 +278,12 @@ object Bench {
     val extra = Seq(
       s""""crawl_urls":$urlsCrawled""",
       s""""crawl_regime":"$headline"""",
+      // headline numbers are MEDIANS (symmetric protocol); _min kept
+      // alongside for comparability with rounds 1-3
       s""""crawl_sec_c$cores":${f"$secBig%.2f"}""",
       s""""crawl_urls_per_sec_c$cores":${f"$tputBig%.1f"}""",
+      s""""crawl_urls_per_sec_c${cores}_median":${f"$tputBig%.1f"}""",
+      s""""crawl_urls_per_sec_c${cores}_min":${f"${urlsCrawled / best(cores, headline)}%.1f"}""",
       s""""crawl_sec_c$smallCores":${f"$secSmall%.2f"}""",
       s""""crawl_urls_per_sec_c$smallCores":${f"$tputSmall%.1f"}""",
       s""""scaling_speedup_${smallCores}_to_$cores":${f"$speedup%.3f"}""",
@@ -233,10 +292,21 @@ object Bench {
       s""""crawl_sec_c${smallCores}_bcast_runs":${runsJson(smallCores, "bcast")}""",
       s""""crawl_sec_c${cores}_bucket_runs":${runsJson(cores, "bucket")}""",
       s""""crawl_sec_c${smallCores}_bucket_runs":${runsJson(smallCores, "bucket")}""",
+      s""""crawl_sec_c${cores}_bcast_median":${f"${med(cores, "bcast")}%.2f"}""",
+      s""""crawl_sec_c${cores}_bucket_median":${f"${med(cores, "bucket")}%.2f"}""",
+      s""""crawl_sec_c${smallCores}_bcast_median":${f"${med(smallCores, "bcast")}%.2f"}""",
+      s""""crawl_sec_c${smallCores}_bucket_median":${f"${med(smallCores, "bucket")}%.2f"}""",
       s""""scaling_efficiency_bcast":${
-        f"${best(smallCores, "bcast") / best(cores, "bcast") / (cores.toDouble / smallCores)}%.3f"}""",
+        f"${med(smallCores, "bcast") / med(cores, "bcast") / (cores.toDouble / smallCores)}%.3f"}""",
       s""""scaling_efficiency_bucket":${
+        f"${med(smallCores, "bucket") / med(cores, "bucket") / (cores.toDouble / smallCores)}%.3f"}""",
+      s""""scaling_efficiency_bcast_min":${
+        f"${best(smallCores, "bcast") / best(cores, "bcast") / (cores.toDouble / smallCores)}%.3f"}""",
+      s""""scaling_efficiency_bucket_min":${
         f"${best(smallCores, "bucket") / best(cores, "bucket") / (cores.toDouble / smallCores)}%.3f"}""",
+      s""""crawl_urls_multicapture":$mcCrawled""",
+      s""""crawl_sec_c${cores}_multicapture":${f"$mcSec%.2f"}""",
+      s""""crawl_urls_per_sec_c${cores}_multicapture":${f"${mcCrawled / mcSec}%.1f"}""",
       s""""query_failures":${failed.size}""")
     val qs = (results.map { case (k, v) => s""""$k":${f"$v%.3f"}""" } ++ extra)
       .mkString("{", ",", "}")

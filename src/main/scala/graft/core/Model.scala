@@ -215,6 +215,16 @@ object Model {
         * gate — the 10^10 regime — the bloom-prefiltered shuffled
         * anti-join runs as before. 10M keys ≈ 80 MB relation. */
       broadcastSeenKeys: Long = 10000000L,
+      /** false (default): FUSED single-parse extraction — title and
+        * outlinks are read from the one parse of the string-cleaned
+        * page (text is byte-identical either way; title/links can
+        * differ only on markup before the `<html` tag or inside
+        * comments that alter script extents — see
+        * [[graft.core.BoilerplateExtractor.extractAll]]). true:
+        * strict two-parse semantics (title/links off a separate RAW
+        * parse, exactly the reference's soup-of-rawpage), at ~2×
+        * parse cost per byte. */
+      strictExtract: Boolean = false,
       /** politeness wave clock: with a per-host crawl delay d (robots
         * Crawl-delay or HostPolicy), at most waveDurationMs/d URLs of
         * that host are schedulable per wave; 0 disables the delay gate

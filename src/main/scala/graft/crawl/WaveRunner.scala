@@ -25,6 +25,10 @@ import graft.state.SnapshotTable
   *  - `processed` = the per-wave fact log: every popped row with its
   *    fetch state, extracted text, content hash, attempt number and
   *    outlinks. pages / crawl-order / seen are PROJECTIONS of it.
+  *  - `latest` = the incremental latest-try ROLLUP of `processed`
+  *    (slim columns, one O(delta) append per wave, merge-on-compact):
+  *    what retry/recrawl scheduling and state resolution read, so the
+  *    per-wave planning input is O(distinct keys), never O(history).
   *  - a row's EFFECTIVE state is resolved at read: pending = discovered
   *    with no processed row; fetched/failed/deferred = its latest
   *    processed row. The per-wave pending scan is read-only — an
@@ -71,6 +75,20 @@ final class WaveRunner(
   val frontierT = SnapshotTable(spark, stateRoot, "frontier")
   val processedT = SnapshotTable(spark, stateRoot, "processed")
   val metricsT = SnapshotTable(spark, stateRoot, "metrics")
+
+  /** Incremental latest-try ROLLUP of the processed log (round-3
+    * verdict #3): one slim segment appended per wave (O(delta) write),
+    * merge-on-compact collapses merged segments to one row per key
+    * (max_by is associative over segments, so the read-side resolve
+    * stays exact across unmerged deltas). Retry/recrawl scheduling and
+    * state resolution read THIS table — O(distinct keys + recent
+    * deltas) input rows per wave — instead of aggregating the full
+    * history (10^10 rows at 10^4 waves × 10^6 pops). The reference
+    * analog is the Postgres-indexed as-of TaskLog restore
+    * (crawler/utils/taskmanager.py:102-116); this is its table-side
+    * equivalent.
+    */
+  val latestT = SnapshotTable(spark, stateRoot, "latest")
 
   /** Rows actually put through fetch+extract this run — the probe the
     * resume test uses to assert zero re-fetches.
@@ -193,14 +211,21 @@ final class WaveRunner(
       if (Files.exists(staging.resolve("_IDLE"))) {
         bloom.advance(w, spark.emptyDataFrame, Some(0L))
         popBloom.advance(w, spark.emptyDataFrame, Some(0L))
+        if (latestT.committedWave() < w) latestT.markCommit(w)
       } else {
         val c = readCounts(staging)
         if (frontierT.committedWave() == w)
           frontierT.readWaveSegment(w).foreach(seg =>
             bloom.advance(w, seg.select("urlHash"), c.map(_.newUrls)))
-        if (processedT.committedWave() == w)
+        if (processedT.committedWave() == w) {
           processedT.readWaveSegment(w).foreach(seg =>
             popBloom.advance(w, seg.select("urlHash"), c.map(_.scheduled)))
+          // crash landed between the latest-rollup append and the
+          // metrics commit: catch the rollup up from the same segment
+          if (latestT.committedWave() < w)
+            processedT.readWaveSegment(w).foreach(seg =>
+              latestT.appendCommit(processedSlim(seg), w))
+        }
       }
       commitMetrics(w, staging.toString, 0L)
       return true
@@ -224,6 +249,7 @@ final class WaveRunner(
       // wave advance, zero data jobs
       if (processedT.committedWave() < w) processedT.markCommit(w)
       if (frontierT.committedWave() < w) frontierT.markCommit(w)
+      if (latestT.committedWave() < w) latestT.markCommit(w)
       bloom.advance(w, spark.emptyDataFrame, Some(0L))
       popBloom.advance(w, spark.emptyDataFrame, Some(0L))
       commitMetrics(w, staging.toString, (System.nanoTime() - t0) / 1000000L)
@@ -241,6 +267,13 @@ final class WaveRunner(
     if (frontierT.committedWave() < w)
       timed(s"w$w adopt-frontier")(
         frontierT.adoptCommit(s"$staging/new_frontier", w))
+    // latest-try rollup delta: slim projection of the wave's processed
+    // segment, O(delta) write (idempotent across crashes — each crash
+    // window re-enters here or in the resume branch above)
+    if (latestT.committedWave() < w)
+      timed(s"w$w latest-rollup")(
+        processedT.readWaveSegment(w).foreach(seg =>
+          latestT.appendCommit(processedSlim(seg), w)))
 
     val counts = readCounts(staging)
     timed(s"w$w sketches") {
@@ -256,15 +289,19 @@ final class WaveRunner(
           frontierT.compactTiered(config.compactMaxSegments)
           processedT.compactTiered(config.compactMaxSegments)
           metricsT.compactTiered(config.compactMaxSegments)
+          // rollup: merged segments collapse to ONE row per key
+          latestT.compactTiered(config.compactMaxSegments, latestTry)
         } else {
           frontierT.compact()
           processedT.compact()
           metricsT.compact()
+          latestT.compact(latestTry)
         }
         if (config.vacuumOnCompact) {
           frontierT.vacuum()
           processedT.vacuum()
           metricsT.vacuum()
+          latestT.vacuum()
         }
       }
     true
@@ -277,7 +314,8 @@ final class WaveRunner(
       "wave", "attempts", "state", "contentHash", "changed")
 
   /** Latest try per urlHash (max by (wave, attempts) — total within a
-    * key because attempts increase per wave for the same key).
+    * key because attempts increase per wave for the same key). Also
+    * the rollup table's merge-on-compact function.
     */
   private def latestTry(slim: DataFrame): DataFrame =
     slim.groupBy("urlHash")
@@ -287,6 +325,25 @@ final class WaveRunner(
           col("contentHash"), col("changed")),
         struct(col("wave"), col("attempts"))).as("r"))
       .select("urlHash", "r.*")
+
+  /** Latest try per key resolved from the INCREMENTAL rollup —
+    * O(distinct keys + recent deltas) input rows — with an exact
+    * full-log fallback only for crash windows / pre-rollup state dirs
+    * (never the steady-state path).
+    */
+  private def latestResolved(p: DataFrame): DataFrame =
+    if (latestT.committedWave() >= processedT.committedWave())
+      latestTry(latestT.read().get)
+    else latestTry(processedSlim(p))
+
+  /** Processed KEYS for the fresh-vs-seen anti-join: the rollup's
+    * segments hold the same key set in far fewer rows than the full
+    * log (≤ one per key per unmerged segment vs one per try).
+    */
+  private def processedKeys(p: DataFrame): DataFrame =
+    if (latestT.committedWave() >= processedT.committedWave())
+      latestT.read().get.select("urlHash")
+    else p.select("urlHash")
 
   private val pendingCols =
     Seq("urlHash", "url", "host", "depth", "priority", "score", "attempts",
@@ -313,21 +370,20 @@ final class WaveRunner(
           .withColumn("priorHash", lit(null).cast("string"))
       case Some(p) =>
         val fresh = SeenSet.notSeen(discoveries,
-            Some(p.select("urlHash")), popBloom.get(w - 1),
+            Some(processedKeys(p)), popBloom.get(w - 1),
             popBloom.count(w - 1), config.broadcastSeenKeys)
           .withColumn("attempts", lit(0))
           .withColumn("origin", lit("fresh"))
           .withColumn("priorHash", lit(null).cast("string"))
-        val slim = processedSlim(p)
+        // ONE latest-try resolve shared by the retry and recrawl
+        // branches (the identical aggregate subtrees reuse one shuffle
+        // via exchange reuse) — and its input is the rollup, not the
+        // full processed history
+        lazy val latest = latestResolved(p)
         val parts = Seq.newBuilder[DataFrame]
         parts += fresh
         if (config.maxFetchAttempts > 1) {
-          // restrict the latest-try aggregate to keys that were EVER
-          // deferred (predicate pushes into the parquet scan; the
-          // aggregate is empty-cheap when nothing defers)
-          val deferredKeys = p.filter(col("state") === FrontierState.Deferred)
-            .select("urlHash").distinct()
-          parts += latestTry(slim.join(deferredKeys, Seq("urlHash"), "left_semi"))
+          parts += latest
             .filter(col("state") === FrontierState.Deferred &&
               col("attempts") < config.maxFetchAttempts &&
               col("wave") + config.retryBackoffWaves <= w)
@@ -336,7 +392,7 @@ final class WaveRunner(
             .select(pendingCols.map(col): _*)
         }
         if (config.recrawlEveryWaves > 0)
-          parts += recrawlDue(w, slim).select(pendingCols.map(col): _*)
+          parts += recrawlDue(w, latest).select(pendingCols.map(col): _*)
         parts.result().reduce(_.unionByName(_))
     }
   }
@@ -356,8 +412,7 @@ final class WaveRunner(
     * page — an unchanged 3-level site costs ONE probe per cycle, not a
     * full re-extraction.
     */
-  private def recrawlDue(w: Int, slim: DataFrame): DataFrame = {
-    val latest = latestTry(slim)
+  private def recrawlDue(w: Int, latest: DataFrame): DataFrame = {
     val due = latest
       .filter(col("state") === FrontierState.Fetched &&
         col("wave") + config.recrawlEveryWaves <= w)
@@ -394,7 +449,7 @@ final class WaveRunner(
       case None => discoveries.withColumn("state", lit(FrontierState.Pending))
       case Some(p) =>
         discoveries
-          .join(latestTry(processedSlim(p)).select(col("urlHash"),
+          .join(latestResolved(p).select(col("urlHash"),
             col("state").as("p_state")), Seq("urlHash"), "left")
           .withColumn("state",
             coalesce(col("p_state"), lit(FrontierState.Pending)))
@@ -415,14 +470,11 @@ final class WaveRunner(
     */
   private def hasFutureWork: Boolean =
     processedT.read().exists { p =>
-      val openDeferred = config.maxFetchAttempts > 1 && {
-        val deferredKeys = p.filter(col("state") === FrontierState.Deferred)
-          .select("urlHash").distinct()
-        !latestTry(processedSlim(p).join(deferredKeys, Seq("urlHash"), "left_semi"))
+      val openDeferred = config.maxFetchAttempts > 1 &&
+        !latestResolved(p)
           .filter(col("state") === FrontierState.Deferred &&
             col("attempts") < config.maxFetchAttempts)
           .isEmpty
-      }
       openDeferred || (config.recrawlEveryWaves > 0 &&
         !p.filter(col("state") === FrontierState.Fetched).isEmpty)
     }
@@ -492,6 +544,7 @@ final class WaveRunner(
     // the reference's updateSessionInfo (sessioninfomanager.py:72-90)
     // computed inline, no extra join ----
     val counter = extractCounter
+    val strict = config.strictExtract
     val extracted = fetchSource.fetched(toFetch, poppedN)
       .select(col("urlHash"), col("url"), col("host"), col("score"),
         col("depth"), col("priority"), col("attempts"), col("priorHash"),
@@ -502,13 +555,20 @@ final class WaveRunner(
             attempts, priorHash, html) =>
           counter.add(1)
           val s = new String(html, UTF_8)
-          // ONE raw parse shared by title + outlinks (text needs its
-          // own parse of the comment/script-stripped page)
-          val rawDoc = HtmlDom.parse(s)
-          val title = BoilerplateExtractor.titleFromDoc(rawDoc, s).getOrElse("No Title")
-          val text = BoilerplateExtractor.extractText(s)
-          val links = LinkExtractor.linkUrls(rawDoc, url)
-            .filter(_ != url).distinct // self-link drop (F8)
+          // FUSED default: ONE parse of the cleaned page shared by
+          // title + outlinks + text (BoilerplateExtractor.extractAll).
+          // strictExtract restores the two-parse raw-soup semantics.
+          val (title, text, rawLinks) =
+            if (strict) {
+              val rawDoc = HtmlDom.parse(s)
+              (BoilerplateExtractor.titleFromDoc(rawDoc, s).getOrElse("No Title"),
+                BoilerplateExtractor.extractText(s),
+                LinkExtractor.linkUrls(rawDoc, url))
+            } else {
+              val e = BoilerplateExtractor.extractAll(s, url)
+              (e.title.getOrElse("No Title"), e.text, e.links)
+            }
+          val links = rawLinks.filter(_ != url).distinct // self-link drop (F8)
           val contentHash = Hashing.contentHash(Seq(text, title)) // O6
           (urlHash, url, host, scoreV, FrontierState.Fetched, title, text,
             contentHash, html.length.toLong, links.toArray, depth, priority,

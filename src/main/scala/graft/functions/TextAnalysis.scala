@@ -165,22 +165,39 @@ object TextAnalysis {
     * anti-monotone in df exactly like tf·idf, but pure integer
     * arithmetic — bit-exact across engines, no float-log ulp flipping
     * ranks at ties (ties break deterministically by term asc). Scale
-    * shape: one (doc, term) aggregate, a broadcast-joined term
-    * dimension, and a per-doc top-k window.
+    * shape: one (doc, term) aggregate, a term-keyed SHUFFLE join of
+    * the document-frequency dimension (both sides are outputs of
+    * term-keyed aggregates, so they arrive co-partitioned; the dim is
+    * one row per DISTINCT CORPUS TERM — unbounded on web text, so it
+    * is never hinted broadcast: AQE may still choose broadcast when
+    * the observed size is small, which is exactly the right call at
+    * small scale and impossible at 10^10 docs), and a per-doc top-k
+    * window. `minDf` / `maxDfRatio` optionally prune the term
+    * dimension before ranking (noise floor / stopword ceiling —
+    * standard keyword-extraction practice, and at web scale the prune
+    * is what keeps the dim from carrying billions of typo/id tokens).
     */
   def topTerms(df: org.apache.spark.sql.DataFrame, idCol: String,
-               textCol: String, k: Int = 3): org.apache.spark.sql.DataFrame = {
+               textCol: String, k: Int = 3, minDf: Long = 1L,
+               maxDfRatio: Double = 1.0): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = filter(split(lower(col(textCol)), "[^a-z0-9_']+"),
       t => length(t) > 0)
     val tf = df.select(col(idCol), explode(toks).as("term"))
       .groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("doc_freq"))
+    val dfreqAll = tf.groupBy("term").agg(count(lit(1)).as("doc_freq"))
     val n = df.select(count_distinct(col(idCol)).as("n_docs"))
+    val dfreq =
+      if (minDf > 1L || maxDfRatio < 1.0)
+        dfreqAll.crossJoin(broadcast(n))
+          .filter(col("doc_freq") >= minDf &&
+            col("doc_freq") <= col("n_docs") * maxDfRatio)
+          .select("term", "doc_freq")
+      else dfreqAll
     val w = Window.partitionBy(idCol)
       .orderBy(col("score").desc, col("term").asc)
-    tf.join(broadcast(dfreq), "term")
+    tf.join(dfreq, "term")
       .crossJoin(broadcast(n))
       .withColumn("score", col("tf") * (col("n_docs") - col("doc_freq") + 1))
       .withColumn("rank", row_number().over(w))

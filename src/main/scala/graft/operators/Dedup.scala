@@ -167,22 +167,34 @@ object Dedup {
     * are O(log component-diameter) instead of O(diameter) — a
     * 1000-vertex chain converges in ~10 rounds, not ~1000. Each round
     * is two equi-joins + one aggregate — no driver-side graph state.
-    * Returns (v, label). At 10^10 vertices, swap persist for
-    * localCheckpoint to truncate lineage; the join shape is unchanged.
+    * Returns (v, label).
+    *
+    * `reliableCheckpoints=true` swaps the per-round eager
+    * `localCheckpoint` (executor-local blocks — lost-executor-UNSAFE
+    * on a real cluster) for `checkpoint()` to the SparkContext's
+    * checkpoint dir (DFS on a cluster): the caller must have called
+    * `sc.setCheckpointDir` first. Same plan shape, same results; the
+    * 10^10-vertex cluster run wants the reliable path.
     */
   def connectedMinLabels(vertices: DataFrame, pairs: DataFrame,
-                         maxIterations: Int = 50): DataFrame = {
+                         maxIterations: Int = 50,
+                         reliableCheckpoints: Boolean = false): DataFrame = {
     val edges = pairs.select(col("id_a"), col("id_b")).unionByName(
       pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b"))).persist()
-    // EAGER localCheckpoint each round, not persist: a persisted
-    // DataFrame keeps its full logical plan, and every round embeds the
+    // EAGER checkpoint each round, not persist: a persisted DataFrame
+    // keeps its full logical plan, and every round embeds the
     // previous round's plan ~3× (neighbor join + the halving self-join)
     // — analysis cost grows 3^rounds and a 12-round run kills the
     // driver. Checkpointing flattens the plan to a LogicalRDD so each
-    // round re-analyzes O(1) nodes. (On a cluster, swap for checkpoint()
-    // on DFS if executor loss matters mid-computation.)
-    var labels = vertices.select(col(vertices.columns.head).as("v"))
-      .withColumn("label", col("v")).localCheckpoint(true)
+    // round re-analyzes O(1) nodes.
+    val ckpt: DataFrame => DataFrame =
+      if (reliableCheckpoints) { d =>
+        require(d.sparkSession.sparkContext.getCheckpointDir.isDefined,
+          "reliableCheckpoints=true requires sc.setCheckpointDir (a DFS path on a cluster)")
+        d.checkpoint(eager = true)
+      } else _.localCheckpoint(true)
+    var labels = ckpt(vertices.select(col(vertices.columns.head).as("v"))
+      .withColumn("label", col("v")))
     var iter = 0
     var converged = false
     // the edges cache must be released on every exit path (fixpoint,
@@ -194,21 +206,19 @@ object Dedup {
         val neighborMin = edges
           .join(labels, edges("id_b") === labels("v"))
           .groupBy(col("id_a").as("nv")).agg(min(col("label")).as("nmin"))
-        val hop = labels
+        val hop = ckpt(labels
           .join(neighborMin, labels("v") === col("nv"), "left")
           .select(col("v"),
-            least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
-          .localCheckpoint(true)
+            least(col("label"), coalesce(col("nmin"), col("label"))).as("label")))
         // pointer halving: label := min(label, label(label)) — min
         // labels only shrink, so composing the label map with itself is
         // sound and doubles propagation distance per round
-        val next = hop.as("a")
+        val next = ckpt(hop.as("a")
           .join(hop.select(col("v").as("lv"), col("label").as("llabel")),
             col("a.label") === col("lv"), "left")
           .select(col("a.v").as("v"),
             least(col("a.label"), coalesce(col("llabel"), col("a.label")))
-              .as("label"))
-          .localCheckpoint(true)
+              .as("label")))
         val changed = next
           .join(labels.select(col("v"), col("label").as("prev")), Seq("v"))
           .filter(col("label") =!= col("prev")).limit(1).count()
@@ -234,10 +244,12 @@ object Dedup {
     */
   def minhashDedupTransitive(df: DataFrame, idCol: String, textCol: String,
                              threshold: Double = 0.7,
-                             maxIterations: Int = 20): DataFrame = {
+                             maxIterations: Int = 20,
+                             reliableCheckpoints: Boolean = false): DataFrame = {
     val pairs = minhashPairs(df, idCol, textCol, threshold = threshold)
       .select("id_a", "id_b")
-    val labels = connectedMinLabels(df.select(col(idCol)), pairs, maxIterations)
+    val labels = connectedMinLabels(df.select(col(idCol)), pairs, maxIterations,
+      reliableCheckpoints)
     val keep = labels.filter(col("label") === col("v")).select(col("v").as(idCol))
     df.join(keep, Seq(idCol), "left_semi")
   }

@@ -53,7 +53,12 @@ object SeenSet {
     seen match {
       case None => candidates
       case Some(seenDf) if seenCount.exists(_ <= broadcastSeenMax) =>
-        candidates.join(broadcast(seenDf.select("urlHash")),
+        // distinct BEFORE the broadcast build: callers may pass a log
+        // with duplicate rows per key (retries/recrawls), and the gate
+        // sized the relation from the sketch chain's DISTINCT-key
+        // count — the built relation must match that estimate, not be
+        // a multiple of it
+        candidates.join(broadcast(seenDf.select("urlHash").distinct()),
           Seq("urlHash"), "left_anti")
       case Some(seenDf) =>
         bloom match {

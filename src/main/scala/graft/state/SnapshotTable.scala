@@ -149,9 +149,10 @@ final class SnapshotTable(spark: SparkSession, root: String, val name: String) {
     * wave marker is unchanged, so resume logic is unaffected (the
     * sketch chain is keyed by per-wave meta files, not segments).
     */
-  def compact(): Option[Int] =
+  def compact(merge: DataFrame => DataFrame = identity): Option[Int] =
     currentManifest().filter(_.segments.size > 1).map { m =>
-      val merged = spark.read.parquet(m.segments.map(v => versionDir(v).toString): _*)
+      val merged = merge(
+        spark.read.parquet(m.segments.map(v => versionDir(v).toString): _*))
       val next = m.version + 1
       merged.write.mode(SaveMode.Overwrite).parquet(versionDir(next).toString)
       writeManifest(Manifest(next, m.wave, Seq(next), listLineage(versionDir(next))))
@@ -171,16 +172,24 @@ final class SnapshotTable(spark: SparkSession, root: String, val name: String) {
     * Crash-safe like any commit (atomic manifest flip, wave marker
     * unchanged); old segments stay until `vacuum`. Returns the merged
     * segment's version, or None when under the bound.
+    *
+    * `merge` transforms the unioned rows of the segments being merged
+    * before they are written — the seam for ROLLUP tables (e.g. a
+    * latest-state table collapses to one row per key with a max_by):
+    * correctness requires the table's read-side resolution to be
+    * associative over segments (max_by is), since unmerged segments'
+    * rows for the same key survive untouched.
     */
-  def compactTiered(maxSegments: Int): Option[Int] =
+  def compactTiered(maxSegments: Int,
+                    merge: DataFrame => DataFrame = identity): Option[Int] =
     currentManifest().filter(_.segments.size > math.max(2, maxSegments)).flatMap { m =>
       val bySize = m.segments.init.sortBy(segmentBytes) // init: newest never merges
       val k = bySize.size + 2 - math.max(1, maxSegments / 2)
       if (k < 2) None
       else {
         val toMerge = bySize.take(k).toSet
-        val merged = spark.read.parquet(
-          m.segments.filter(toMerge).map(v => versionDir(v).toString): _*)
+        val merged = merge(spark.read.parquet(
+          m.segments.filter(toMerge).map(v => versionDir(v).toString): _*))
         val next = m.version + 1
         merged.write.mode(SaveMode.Overwrite).parquet(versionDir(next).toString)
         // merged segment FIRST, survivors in original order: `.last`

@@ -115,7 +115,16 @@ object Sessionize {
             state.remove()
             out.iterator
           } else {
-            val sorted = rows.toArray.sortBy(_.tsUs)
+            // DROP events older than the current watermark explicitly:
+            // flatMapGroupsWithState hands late rows to the function
+            // rather than filtering them like the built-in stateful
+            // ops, and a late row here would silently merge into (or
+            // corrupt the ordering of) the open session. Dropping
+            // makes the contract exact: the stream equals the batch
+            // twin run on the watermark-filtered input (pinned in
+            // StreamingAndPlanSpec).
+            val wmUs = state.getCurrentWatermarkMs() * 1000L
+            val sorted = rows.toArray.filter(_.tsUs >= wmUs).sortBy(_.tsUs)
             val closed = Seq.newBuilder[Session]
             var open = state.getOption
             sorted.foreach { e =>

@@ -128,6 +128,63 @@ class BoilerplateExtractorSpec extends AnyFunSuite {
     assert(links.map(_.url).contains("http://cdn.com/base/x.html"))
   }
 
+  // ---- fused single-parse extraction (round-3 verdict #4) ----
+
+  private def strictAll(html: String, url: String) = {
+    val rawDoc = HtmlDom.parse(html)
+    (BE.titleFromDoc(rawDoc, html), BE.extractText(html),
+      LinkExtractor.linkUrls(rawDoc, url))
+  }
+
+  test("fused extractAll equals the strict two-parse path on the synthetic corpus") {
+    val spec = graft.crawl.SyntheticCorpus.Spec(numUrls = 120, numHosts = 7)
+    (0L until 120L).foreach { i =>
+      val html = graft.crawl.SyntheticCorpus.htmlFor(i, spec)
+      val url = graft.crawl.SyntheticCorpus.urlFor(i, spec)
+      val (st, sx, sl) = strictAll(html, url)
+      val f = BE.extractAll(html, url)
+      assert(f.text === sx, s"text diverged on page $i")
+      assert(f.title === st, s"title diverged on page $i")
+      assert(f.links === sl, s"links diverged on page $i")
+    }
+  }
+
+  test("fused extractAll equals strict on the spec's hand fixtures") {
+    val pages = Seq(
+      s"""<html><head><title>T &amp; t</title><script>var x="<div>d</div>";</script></head>
+         |<body><a href="/x">x</a><div>$longText</div></body></html>""".stripMargin,
+      s"""junk<!-- c --><html><body><script>s</script bad=1 >
+         |<base href="http://b.test/sub/"><a href="p">rel</a>
+         |<div>$longText</div></body></html>""".stripMargin,
+      "", "<div>no html root at all</div>",
+      s"<html><body><p>$longText</p><!-- trailing\nmultiline --></body></html>")
+    pages.foreach { html =>
+      val (st, sx, sl) = strictAll(html, "http://h.test/p/1")
+      val f = BE.extractAll(html, "http://h.test/p/1")
+      assert((f.title, f.text, f.links) === ((st, sx, sl)))
+    }
+  }
+
+  test("fused/strict divergence is confined to pre-<html> markup (pinned)") {
+    // An anchor BEFORE the <html> tag: the reference's soup of the raw
+    // page sees it (strict does too); the fused path parses only the
+    // cleaned page, which starts at `<html` — so the link is dropped.
+    // This is the documented divergence class, not a silent one.
+    val html =
+      s"""<a href="http://pre.test/x">pre-root</a><html><body>
+         |<a href="http://in.test/y">in-root</a><p>$longText</p></body></html>""".stripMargin
+    val (_, sx, sl) = strictAll(html, "http://h.test/")
+    val f = BE.extractAll(html, "http://h.test/")
+    assert(f.text === sx) // text identical even here
+    assert(sl.contains("http://pre.test/x") && sl.contains("http://in.test/y"))
+    assert(f.links === Seq("http://in.test/y"))
+    // a page whose ONLY title predates <html> keeps it via the raw
+    // fallback regex in BOTH paths
+    val t = "<title>early</title><html><body><p>x</p></body></html>"
+    assert(BE.extractAll(t, "http://h.test/").title === Some("early"))
+    assert(strictAll(t, "http://h.test/")._1 === Some("early"))
+  }
+
   test("DOM findAll / extract round trip") {
     val doc = HtmlDom.parse("<html><body><div id='a'><p>x</p></div><div>y</div></body></html>")
     val divs = doc.findAll(Set("div"))

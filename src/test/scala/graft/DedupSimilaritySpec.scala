@@ -118,6 +118,24 @@ class DedupSimilaritySpec extends AnyFunSuite {
       "every chain vertex must flood to the component min (0)")
   }
 
+  test("connectedMinLabels: reliable-checkpoint path matches localCheckpoint") {
+    // the cluster seam (round-3 verdict #8): checkpoint() to the
+    // context's checkpoint dir instead of executor-local blocks —
+    // identical labels, and a loud require when no dir is set
+    val vertices = Seq(1L, 2L, 4L, 5L, 7L, 9L).toDF("v")
+    val pairs = Seq((2L, 9L), (1L, 9L), (4L, 5L)).toDF("id_a", "id_b")
+    intercept[IllegalArgumentException] {
+      Dedup.connectedMinLabels(vertices, pairs, reliableCheckpoints = true)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    val reliable = Dedup.connectedMinLabels(vertices, pairs,
+        reliableCheckpoints = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reliable ===
+      Map(1L -> 1L, 2L -> 1L, 9L -> 1L, 4L -> 4L, 5L -> 4L, 7L -> 7L))
+  }
+
   test("transitive dedup keeps one doc per component (subset of one-pass)") {
     val kept = Dedup.minhashDedupTransitive(docs, "doc_id", "text", threshold = 0.5)
       .select("doc_id").collect().map(_.getLong(0)).toSet

@@ -231,4 +231,117 @@ class StreamingAndPlanSpec extends AnyFunSuite {
       s"missing closed sessions: ${(mustEmit -- streamed).take(3)}")
     assert(streamed.nonEmpty, "stream emitted nothing")
   }
+
+  test("sessionize streaming edges: multi-close, timeout boundary, late drop") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.Sessionize
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val gapSeconds = 100L
+    val ms = MemoryStream[(Long, Long, Double)]
+    val df = ms.toDF().toDF("user_id", "sec", "value")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+      .withWatermark("ts", "0 seconds")
+    val q = Sessionize.streamingSessions(Sessionize.toEvents(spark, df), gapSeconds)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess_edge").start()
+    def sessions(): Set[(Long, Long, Long, Long)] = spark.sql(
+      "select user_id, session_start_us, session_end_us, n_events from sess_edge")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    def us(sec: Long) = sec * 1000000L
+
+    try {
+      // (times ride a 10000s base — an event at exactly epoch 0 sits
+      // ON the initial watermark, a degenerate boundary)
+      // batch 1: ONE batch closes TWO sessions for one key (10000-10010
+      // and 11000), leaving 12000 open; watermark advances to 12000s
+      ms.addData((1L, 10000L, 1.0), (1L, 10010L, 1.0), (1L, 11000L, 1.0),
+        (1L, 12000L, 1.0))
+      q.processAllAvailable()
+      assert(sessions() === Set((1L, us(10000), us(10010), 2L),
+        (1L, us(11000), us(11000), 1L)))
+
+      // batch 2: a LATE event (10100s < watermark 12000s) must be
+      // dropped — not merged into the open 12000s session — while
+      // user 2's event pushes the watermark to 15000s
+      ms.addData((1L, 10100L, 1.0), (2L, 15000L, 1.0))
+      q.processAllAvailable()
+      // batch 3: runs with watermark 15000s > 12000s+gap — the open
+      // session closes via EVENT-TIME TIMEOUT (no more user-1 events),
+      // and n_events==1 proves the late event never entered it
+      ms.addData((2L, 15050L, 1.0))
+      q.processAllAvailable()
+      ms.addData((2L, 19000L, 1.0)) // one more watermark push so the timeout batch ran
+      q.processAllAvailable()
+      assert(sessions().contains((1L, us(12000), us(12000), 1L)),
+        s"open session did not close by timeout: ${sessions()}")
+
+      // the streamed user-1 history equals the batch twin run on the
+      // WATERMARK-FILTERED input (late 10100s event absent)
+      val filteredInput = Seq((1L, us(10000), 1L, 1.0), (1L, us(10010), 2L, 1.0),
+        (1L, us(11000), 3L, 1.0), (1L, us(12000), 4L, 1.0))
+        .toDF("user_id", "e", "event_id", "value")
+        .withColumn("ts", timestamp_micros(col("e"))).drop("e")
+      val twin = Sessionize.batchSessions(filteredInput, gapSeconds)
+        .select("user_id", "session_start_us", "session_end_us", "n_events")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(sessions().filter(_._1 == 1L) === twin)
+    } finally q.stop()
+  }
+
+  test("topTerms never HINTS broadcast on the unbounded term dimension") {
+    // With auto-broadcast off (static + AQE), only hinted joins can
+    // broadcast. The only legitimate broadcast in topTerms is the
+    // 1-row corpus count; the per-distinct-term document-frequency
+    // dimension is unbounded on web text and must reach the term join
+    // as a shuffle (AQE may choose broadcast at runtime when small —
+    // that is a size-based decision, not a hint, and is exactly what
+    // we disable here to expose any hint).
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeLike
+    val prevStatic = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val out = graft.functions.TextAnalysis.topTerms(docs, "doc_id", "text", k = 2)
+      assert(out.count() > 0)
+      val broadcasts = planNodes(out.queryExecution.executedPlan)
+        .collect { case b: BroadcastExchangeLike => b }
+      assert(broadcasts.size === 1,
+        s"expected only the 1-row n_docs broadcast, got: ${broadcasts.map(_.output.map(_.name))}")
+      assert(broadcasts.head.output.map(_.name) === Seq("n_docs"))
+      assert(!broadcasts.exists(_.output.exists(_.name == "doc_freq")),
+        "term dimension must not broadcast under a hint")
+    } finally {
+      prevStatic match {
+        case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+        case None => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      }
+      prevAqe match {
+        case Some(v) => spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", v)
+        case None => spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      }
+    }
+  }
+
+  test("topTerms minDf/maxDfRatio prune the term dimension before ranking") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta common common"),
+      (2L, "alpha gamma common"),
+      (3L, "alpha delta common")).toDF("doc_id", "text")
+    // minDf=2 drops beta/gamma/delta (df=1); maxDfRatio<1 drops
+    // alpha+common (df=3 = every doc)
+    val pruned = graft.functions.TextAnalysis
+      .topTerms(docs, "doc_id", "text", k = 5, minDf = 2L, maxDfRatio = 0.99)
+      .select("term").distinct().as[String].collect().toSet
+    assert(pruned === Set.empty[String])
+    val floorOnly = graft.functions.TextAnalysis
+      .topTerms(docs, "doc_id", "text", k = 5, minDf = 2L)
+      .select("term").distinct().as[String].collect().toSet
+    assert(floorOnly === Set("alpha", "common"))
+  }
 }
