@@ -83,7 +83,13 @@ object Bench {
     * pops at this wave size broadcast into the fetch join.
     */
   private def broadcastCfg = CrawlConfig(
-    maxDepth = 3, defaultMaxPerWave = 1000000, maxWaves = 2,
+    maxDepth = 3,
+    // the bench crawl is work-dominated BY DESIGN: the per-host budget
+    // must never bind (max host mass ≪ corpus), so state the intent as
+    // a budget the discovery count can never reach — the engine's
+    // sketch-count gate then proves per wave that ranking is a no-op
+    // and skips the pop windows (selection identical either way)
+    defaultMaxPerWave = (ScaleUrls * 2).toInt, maxWaves = 2,
     saltTarget = 20000L, assumeUniqueUrls = true,
     broadcastPopRows = ScaleUrls * 2)
 

@@ -3,6 +3,8 @@ package graft.crawl
 import java.nio.charset.StandardCharsets.UTF_8
 import java.nio.file.{Files, Paths}
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{Column, DataFrame, Observation, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -26,9 +28,11 @@ import graft.state.SnapshotTable
   *    fetch state, extracted text, content hash, attempt number and
   *    outlinks. pages / crawl-order / seen are PROJECTIONS of it.
   *  - `latest` = the incremental latest-try ROLLUP of `processed`
-  *    (slim columns, one O(delta) append per wave, merge-on-compact):
-  *    what retry/recrawl scheduling and state resolution read, so the
-  *    per-wave planning input is O(distinct keys), never O(history).
+  *    (slim columns, materialized at compaction cadence, merged
+  *    tiered): retry/recrawl scheduling and state resolution read
+  *    rollup ∪ newer-than-rollup rows (wave-predicate pushdown), so
+  *    per-wave planning input is O(distinct keys + recent deltas),
+  *    never O(history) — and no per-wave rollup write exists.
   *  - a row's EFFECTIVE state is resolved at read: pending = discovered
   *    with no processed row; fetched/failed/deferred = its latest
   *    processed row. The per-wave pending scan is read-only — an
@@ -77,14 +81,18 @@ final class WaveRunner(
   val metricsT = SnapshotTable(spark, stateRoot, "metrics")
 
   /** Incremental latest-try ROLLUP of the processed log (round-3
-    * verdict #3): one slim segment appended per wave (O(delta) write),
-    * merge-on-compact collapses merged segments to one row per key
-    * (max_by is associative over segments, so the read-side resolve
-    * stays exact across unmerged deltas). Retry/recrawl scheduling and
-    * state resolution read THIS table — O(distinct keys + recent
-    * deltas) input rows per wave — instead of aggregating the full
-    * history (10^10 rows at 10^4 waves × 10^6 pops). The reference
-    * analog is the Postgres-indexed as-of TaskLog restore
+    * verdict #3). The rollup MATERIALIZES only at compaction cadence —
+    * zero per-wave jobs (a measured 0.3-0.8 s/wave serial write in the
+    * first cut): between materializations, reads compose the rollup
+    * with the processed rows NEWER than its `committedWave` (a
+    * `wave > mergedWave` predicate that pushes into the parquet scan,
+    * so row-group stats skip the old segments). Each compaction cycle
+    * appends ONE latest-per-key segment for the accumulated window and
+    * tiered-merges with [[latestTry]], so total rollup write I/O stays
+    * O(history + keys·log) like the log itself, and per-wave planning
+    * input is O(distinct keys + recent deltas) — never O(history)
+    * (10^10 rows at 10^4 waves × 10^6 pops). The reference analog is
+    * the Postgres-indexed as-of TaskLog restore
     * (crawler/utils/taskmanager.py:102-116); this is its table-side
     * equivalent.
     */
@@ -211,21 +219,14 @@ final class WaveRunner(
       if (Files.exists(staging.resolve("_IDLE"))) {
         bloom.advance(w, spark.emptyDataFrame, Some(0L))
         popBloom.advance(w, spark.emptyDataFrame, Some(0L))
-        if (latestT.committedWave() < w) latestT.markCommit(w)
       } else {
         val c = readCounts(staging)
         if (frontierT.committedWave() == w)
           frontierT.readWaveSegment(w).foreach(seg =>
             bloom.advance(w, seg.select("urlHash"), c.map(_.newUrls)))
-        if (processedT.committedWave() == w) {
+        if (processedT.committedWave() == w)
           processedT.readWaveSegment(w).foreach(seg =>
             popBloom.advance(w, seg.select("urlHash"), c.map(_.scheduled)))
-          // crash landed between the latest-rollup append and the
-          // metrics commit: catch the rollup up from the same segment
-          if (latestT.committedWave() < w)
-            processedT.readWaveSegment(w).foreach(seg =>
-              latestT.appendCommit(processedSlim(seg), w))
-        }
       }
       commitMetrics(w, staging.toString, 0L)
       return true
@@ -249,7 +250,6 @@ final class WaveRunner(
       // wave advance, zero data jobs
       if (processedT.committedWave() < w) processedT.markCommit(w)
       if (frontierT.committedWave() < w) frontierT.markCommit(w)
-      if (latestT.committedWave() < w) latestT.markCommit(w)
       bloom.advance(w, spark.emptyDataFrame, Some(0L))
       popBloom.advance(w, spark.emptyDataFrame, Some(0L))
       commitMetrics(w, staging.toString, (System.nanoTime() - t0) / 1000000L)
@@ -267,13 +267,6 @@ final class WaveRunner(
     if (frontierT.committedWave() < w)
       timed(s"w$w adopt-frontier")(
         frontierT.adoptCommit(s"$staging/new_frontier", w))
-    // latest-try rollup delta: slim projection of the wave's processed
-    // segment, O(delta) write (idempotent across crashes — each crash
-    // window re-enters here or in the resume branch above)
-    if (latestT.committedWave() < w)
-      timed(s"w$w latest-rollup")(
-        processedT.readWaveSegment(w).foreach(seg =>
-          latestT.appendCommit(processedSlim(seg), w)))
 
     val counts = readCounts(staging)
     timed(s"w$w sketches") {
@@ -285,6 +278,19 @@ final class WaveRunner(
     commitMetrics(w, staging.toString, (System.nanoTime() - t0) / 1000000L)
     if (config.compactEveryWaves > 0 && w % config.compactEveryWaves == 0)
       timed(s"w$w compact") {
+        // materialize the latest-try rollup for the window since the
+        // last materialization (ONE latest-per-key segment per cycle,
+        // idempotent via the committed-wave marker), then bound its
+        // segment count with the merging tiered compaction. Runs
+        // BEFORE the processed log's own compaction so the recent-wave
+        // scan still row-group-prunes cleanly.
+        if (latestT.committedWave() < w)
+          processedT.read().foreach { p =>
+            val delta = latestTry(processedSlim(p).filter(
+              col("wave") > latestT.committedWave()))
+            if (latestT.exists()) latestT.appendCommit(delta, w)
+            else latestT.commit(delta, w)
+          }
         if (config.compactMaxSegments > 1) {
           frontierT.compactTiered(config.compactMaxSegments)
           processedT.compactTiered(config.compactMaxSegments)
@@ -326,24 +332,33 @@ final class WaveRunner(
         struct(col("wave"), col("attempts"))).as("r"))
       .select("urlHash", "r.*")
 
-  /** Latest try per key resolved from the INCREMENTAL rollup —
-    * O(distinct keys + recent deltas) input rows — with an exact
-    * full-log fallback only for crash windows / pre-rollup state dirs
-    * (never the steady-state path).
+  /** Rollup ∪ the processed rows NEWER than the rollup's merged wave —
+    * the exact input set for any latest-key resolution. The wave
+    * filter pushes into the parquet scan (row-group pruning skips the
+    * already-rolled-up history); with no rollup yet, mergedWave = -1
+    * and this degrades to the full slim log (short crawls never pay a
+    * rollup job at all).
+    */
+  private def rollupAndRecent(p: DataFrame): DataFrame = {
+    val recent = processedSlim(p).filter(col("wave") > latestT.committedWave())
+    latestT.read() match {
+      case Some(rollup) => rollup.unionByName(recent)
+      case None => recent
+    }
+  }
+
+  /** Latest try per key — O(distinct keys + recent deltas) input rows
+    * once the rollup has materialized, never O(history).
     */
   private def latestResolved(p: DataFrame): DataFrame =
-    if (latestT.committedWave() >= processedT.committedWave())
-      latestTry(latestT.read().get)
-    else latestTry(processedSlim(p))
+    latestTry(rollupAndRecent(p))
 
-  /** Processed KEYS for the fresh-vs-seen anti-join: the rollup's
-    * segments hold the same key set in far fewer rows than the full
-    * log (≤ one per key per unmerged segment vs one per try).
+  /** Processed KEYS for the fresh-vs-seen anti-join: same key set as
+    * the full log in far fewer rows (≤ one per key per rollup segment
+    * + one per recent try).
     */
   private def processedKeys(p: DataFrame): DataFrame =
-    if (latestT.committedWave() >= processedT.committedWave())
-      latestT.read().get.select("urlHash")
-    else p.select("urlHash")
+    rollupAndRecent(p).select("urlHash")
 
   private val pendingCols =
     Seq("urlHash", "url", "host", "depth", "priority", "score", "attempts",
@@ -488,30 +503,46 @@ final class WaveRunner(
       .filter(col("depth") <= config.maxDepth)
     val allowed = Politeness.applyRobots(pending, robots)
 
-    // salt-slot counts: only hosts above saltTarget need slots > 1;
-    // that set is small by construction, so it broadcasts.
-    val heavyHosts = allowed.groupBy("host")
-      .agg(count(lit(1)).as("pending_mass"))
-      .filter(col("pending_mass") > config.saltTarget)
-      .withColumn("saltSlots",
-        Politeness.saltSlotsCol(col("pending_mass"), config.saltTarget))
-      .select("host", "saltSlots")
+    // budget short-circuit: |pending| ≤ |discoveries ever| = the
+    // discovery sketch chain's running count (zero jobs — the three
+    // pending branches are key-disjoint subsets of the discovery log).
+    // When that bound fits inside the uniform per-host budget and no
+    // per-host policy or delay clock can lower it, every host's budget
+    // provably doesn't bind — the pop IS the allowed set, and both
+    // ranking windows plus the salt-mass aggregate are skipped (an
+    // optimizer short-circuit, not an approximation: the selection is
+    // identical, and downstream order is fixed by the total-order
+    // contract, never by staged row order).
+    val unbudgeted = hostPolicies.isEmpty && config.waveDurationMs <= 0L &&
+      bloom.count(w - 1).exists(_ <= config.defaultMaxPerWave)
 
-    val withBudget = allowed
-      .join(broadcast(heavyHosts), Seq("host"), "left")
-      .withColumn("saltSlots", coalesce(col("saltSlots"), lit(1)))
-      .withColumn("maxPerWave",
-        Politeness.delayCappedBudget(
-          budgetFor(col("host")),
-          greatest(col("robotsDelayMs"), policyDelayFor(col("host"))),
-          config.waveDurationMs))
+    def rankedPop: DataFrame = {
+      // salt-slot counts: only hosts above saltTarget need slots > 1;
+      // that set is small by construction, so it broadcasts.
+      val heavyHosts = allowed.groupBy("host")
+        .agg(count(lit(1)).as("pending_mass"))
+        .filter(col("pending_mass") > config.saltTarget)
+        .withColumn("saltSlots",
+          Politeness.saltSlotsCol(col("pending_mass"), config.saltTarget))
+        .select("host", "saltSlots")
+
+      val withBudget = allowed
+        .join(broadcast(heavyHosts), Seq("host"), "left")
+        .withColumn("saltSlots", coalesce(col("saltSlots"), lit(1)))
+        .withColumn("maxPerWave",
+          Politeness.delayCappedBudget(
+            budgetFor(col("host")),
+            greatest(col("robotsDelayMs"), policyDelayFor(col("host"))),
+            config.waveDurationMs))
+      Politeness.popPerHost(withBudget)
+    }
 
     // ---- pop, STAGED: the two-stage ranking windows run exactly once;
     // every consumer (defer split, fetch join, miss anti-join, metrics)
     // reads the staged parquet instead of recomputing the plan ----
     val popObs = Observation(s"graft-pop-$w")
     timed(s"w$w pop+stage")(
-      Politeness.popPerHost(withBudget)
+      (if (unbudgeted) allowed else rankedPop)
         .select(pendingCols.map(col): _*)
         .observe(popObs,
           count(lit(1)).as("n"),
@@ -605,9 +636,15 @@ final class WaveRunner(
     // unique, so fetched == popped with no defer split means zero
     // misses — skip the anti-join job entirely (it is near-serial: a
     // staged re-read + tiny-row write that costs the same at 8 and 32
-    // cores, pure S-term in a fully-resolvable wave)
-    val (scheduled, deferredN) =
-      if (deferred.isEmpty && fetchedN == poppedN) (poppedN, 0L)
+    // cores, pure S-term in a fully-resolvable wave). When misses DO
+    // exist, their job runs on a SEPARATE THREAD overlapping the
+    // expansion below (both read the immutable fetched artifact; tail
+    // rows carry no links, so expansion over fetched-only is already
+    // exact) — the tail writes its own directory and its files are
+    // folded into the processed artifact after both jobs finish.
+    val tailDir = s"$staging/processed_tail"
+    val tailFuture: Option[java.util.concurrent.Future[(Long, Long)]] =
+      if (deferred.isEmpty && fetchedN == poppedN) None
       else {
         val failedRows =
           if (fetchedN == 0L) emptyPage(toFetch, FrontierState.Failed)
@@ -618,14 +655,19 @@ final class WaveRunner(
           deferred.map(d => emptyPage(d, FrontierState.Deferred)).toSeq)
           .reduce(_.unionByName(_))
         val tailObs = Observation(s"graft-tail-$w")
-        timed(s"w$w stage-misses")(
-          tail.withColumn("wave", lit(w))
-            .withColumn("nOutlinks", size(col("links")))
-            .observe(tailObs, count(lit(1)).as("n"),
-              count(when(col("state") === FrontierState.Deferred, 1)).as("deferred"))
-            .write.mode(SaveMode.Append).parquet(s"$staging/processed"))
-        (fetchedN + tailObs.get("n").asInstanceOf[Long],
-          tailObs.get("deferred").asInstanceOf[Long])
+        val task = new java.util.concurrent.Callable[(Long, Long)] {
+          override def call(): (Long, Long) = {
+            tail.withColumn("wave", lit(w))
+              .withColumn("nOutlinks", size(col("links")))
+              .observe(tailObs, count(lit(1)).as("n"),
+                count(when(col("state") === FrontierState.Deferred, 1)).as("deferred"))
+              .write.mode(SaveMode.Overwrite).parquet(tailDir)
+            (tailObs.get("n").asInstanceOf[Long],
+              tailObs.get("deferred").asInstanceOf[Long])
+          }
+        }
+        val ex = java.util.concurrent.Executors.newSingleThreadExecutor()
+        try Some(ex.submit(task)) finally ex.shutdown()
       }
 
     // ---- frontier expansion (E2) from the staged artifact (resume
@@ -681,6 +723,28 @@ final class WaveRunner(
       newEntries.observe(newObs, count(lit(1)).as("n"))
         .write.mode(SaveMode.Overwrite).parquet(s"$staging/new_frontier"))
     val newUrls = newObs.get("n").asInstanceOf[Long]
+
+    // join the overlapped tail job and fold its part-files into the
+    // processed artifact (same-filesystem renames; UUID part names
+    // cannot collide). Crash-safe: a kill here re-runs the whole stage
+    // (no _STAGED marker yet), and both writes are Overwrite.
+    val (scheduled, deferredN) = tailFuture match {
+      case None => (poppedN, 0L)
+      case Some(f) =>
+        val (tailN, defN) = timed(s"w$w stage-misses-join")(f.get())
+        val dst = Paths.get(s"$staging/processed")
+        val entries = {
+          val s = Files.list(Paths.get(tailDir))
+          try s.iterator().asScala.toList finally s.close()
+        }
+        entries.filter(_.getFileName.toString.endsWith(".parquet"))
+          .foreach(p => Files.move(p, dst.resolve(p.getFileName),
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE))
+        entries.filterNot(_.getFileName.toString.endsWith(".parquet"))
+          .foreach(p => Files.delete(p))
+        Files.delete(Paths.get(tailDir))
+        (fetchedN + tailN, defN)
+    }
 
     writeCounts(staging,
       StageCounts(scheduled, fetchedN, scheduled - fetchedN - deferredN,

@@ -16,9 +16,14 @@ object ScaleProbe {
   var regime: String = "bcast"
 
   def cfgFor(numUrls: Long, corpusBase: String): CrawlConfig = {
-    val base = CrawlConfig(maxDepth = 3, defaultMaxPerWave = 1000000,
+    val base = CrawlConfig(maxDepth = 3,
+      defaultMaxPerWave = (numUrls * 4).toInt, // never binds: work-dominated probe
       maxWaves = 2, saltTarget = 20000L, assumeUniqueUrls = true,
-      broadcastPopRows = numUrls * 2)
+      broadcastPopRows = numUrls * 2,
+      // GRAFT_STRICT_EXTRACT=1 probes the two-parse extractor — the
+      // fused-vs-strict pair is the falsifiable test of the
+      // memory-bandwidth-knee attribution (BENCH.md)
+      strictExtract = sys.env.contains("GRAFT_STRICT_EXTRACT"))
     if (regime == "bucket")
       base.copy(fetchBuckets = 64,
         fetchBucketDir = Some(s"$corpusBase-buckets64"),

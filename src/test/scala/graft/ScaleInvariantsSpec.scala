@@ -94,4 +94,30 @@ class ScaleInvariantsSpec extends AnyFunSuite {
     // the rollup's committed wave tracks the processed log's
     assert(runner.latestT.committedWave() === runner.processedT.committedWave())
   }
+
+  test("budget short-circuit pops exactly the ranked path's selection") {
+    // With a uniform budget the discovery count can never reach, the
+    // sketch-count gate skips the pop windows; a host policy for a
+    // host that does not exist forces the ranked path with the SAME
+    // effective budgets — crawl order and pages must be identical.
+    import graft.core.Model.HostPolicy
+    val spec = SyntheticCorpus.Spec(numUrls = 400, numHosts = 10)
+    val corpus = SyntheticCorpus.generate(spark, spec, partitions = 4).toDF()
+    val cfg = CrawlConfig(maxDepth = 2, defaultMaxPerWave = 1000000, maxWaves = 3)
+    def crawl(policies: Map[String, HostPolicy]) = {
+      val r = new WaveRunner(spark, corpus,
+        Files.createTempDirectory("graft-budgetsc-").toString, cfg, policies)
+      r.initSeeds((0L until 400L by 4).map(i =>
+        SyntheticCorpus.urlFor(i, spec) -> 1))
+      r.run()
+      (r.crawlOrder().collect().map(_.toSeq).toSeq,
+        r.pages().select("urlHash", "contentHash").collect()
+          .map(_.toSeq).toSet)
+    }
+    val (gateOrder, gatePages) = crawl(Map.empty) // gate fires
+    val (rankedOrder, rankedPages) = crawl(Map( // ranked path, same budgets
+      "no-such-host.test" -> HostPolicy("no-such-host.test", 0L, 1000000)))
+    assert(gateOrder === rankedOrder)
+    assert(gatePages === rankedPages)
+  }
 }
