@@ -76,6 +76,9 @@ object SparkEntry {
     "q_text_profile" -> (qTextProfile(_, _)),
     "q_stopword_ratio" -> (qStopwordRatio(_, _)),
     "q_top_terms" -> (qTopTerms(_, _)),
+    "q_repetition_profile" -> (qRepetitionProfile(_, _)),
+    "q_pii_scrub" -> (qPiiScrub(_, _)),
+    "q_length_deciles" -> (qLengthDeciles(_, _)),
     "q_sessionize" -> (qSessionize(_, _)),
     "q_contamination" -> (qContamination(_, _)),
     "q_fingerprint" -> (qFingerprint(_, _)),
@@ -392,6 +395,63 @@ object SparkEntry {
         |SELECT doc_id, term, CAST(score AS BIGINT) AS score,
         | CAST(rank AS int) AS rank
         |FROM ranked WHERE rank <= 3""".stripMargin,
+    "q_repetition_profile" ->
+      """WITH toks AS (
+        | SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+        |   '[^a-z0-9_]+'), x -> length(x) > 0) AS tk
+        | FROM documents),
+        |bg AS (
+        | SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+        |   i -> tk[i] || ' ' || tk[i+1])) AS bg
+        | FROM toks WHERE len(tk) >= 2),
+        |bstats AS (
+        | SELECT doc_id, max(c) AS top_c, sum(c) AS tot
+        | FROM (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2)
+        | GROUP BY 1),
+        |ln AS (
+        | SELECT doc_id, unnest(list_transform(range(0, len(tk) // 5),
+        |   i -> array_to_string(tk[i*5+1:i*5+5], ' '))) AS line
+        | FROM toks WHERE len(tk) >= 5),
+        |lstats AS (
+        | SELECT doc_id, count(*) AS n_lines,
+        |  count(*) - count(DISTINCT line) AS n_dup FROM ln GROUP BY 1)
+        |SELECT t.doc_id,
+        | CAST(coalesce(b.tot, 0) AS bigint) AS total_bigrams,
+        | CAST(coalesce(b.top_c, 0) AS bigint) AS top_bigram_count,
+        | CASE WHEN coalesce(b.tot, 0) = 0 THEN 0.0
+        |  ELSE round(b.top_c * 1.0 / b.tot, 4) END AS top_bigram_frac,
+        | CAST(coalesce(l.n_lines, 0) AS bigint) AS n_lines,
+        | CASE WHEN coalesce(l.n_lines, 0) = 0 THEN 0.0
+        |  ELSE round(l.n_dup * 1.0 / l.n_lines, 4) END AS dup_line_frac
+        |FROM (SELECT DISTINCT doc_id FROM documents) t
+        |LEFT JOIN bstats b USING (doc_id)
+        |LEFT JOIN lstats l USING (doc_id)""".stripMargin,
+    "q_pii_scrub" ->
+      """WITH synth AS (
+        | SELECT doc_id,
+        |  text || ' contact ' || source || '@example.com from 10.0.'
+        |   || (doc_id % 256) || '.77'
+        |   || CASE WHEN doc_id % 3 = 0 THEN ' cc admin@test.org x@y'
+        |      ELSE '' END AS s
+        | FROM documents)
+        |SELECT doc_id,
+        | CAST(len(regexp_extract_all(s,
+        |   '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS int)
+        |  AS n_emails,
+        | CAST(len(regexp_extract_all(s,
+        |   '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS int) AS n_ips,
+        | md5(regexp_replace(regexp_replace(s,
+        |   '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+        |   '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g')) AS scrub_hash
+        |FROM synth""".stripMargin,
+    "q_length_deciles" ->
+      """SELECT lang, CAST(decile AS int) AS decile, count(*) AS n_docs,
+        | min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        |FROM (SELECT lang, n_chars,
+        |  ntile(10) OVER (PARTITION BY lang ORDER BY n_chars, doc_id)
+        |   AS decile
+        | FROM documents)
+        |GROUP BY 1, 2""".stripMargin,
     "q_token_stats" ->
       """SELECT lang, CAST(sum(n) AS bigint) AS total_tokens,
         | round(avg(n), 4) AS avg_tokens

@@ -206,6 +206,92 @@ object TextAnalysis {
         col("rank"))
   }
 
+  /** Gopher-style repetition signals (Rae et al. 2021, "Scaling
+    * Language Models", Table A1: repetition filters): per-document
+    * top-bigram fraction (share of all word-bigram occurrences taken
+    * by the single most frequent bigram) and duplicate-line fraction
+    * (share of `chunk`-token pseudo-lines that are repeats of an
+    * earlier line — on web text with real newlines, pass the text
+    * pre-split; the fixed-width chunking keeps the operator
+    * meaningful on unstructured text too). High values flag the
+    * auto-generated / template / keyword-stuffed pages a training-
+    * data pipeline drops before dedup even runs.
+    *
+    * Scale shape: one posexplode, one per-doc lead window, two
+    * doc-keyed aggregates and a doc-keyed join — every shuffle is
+    * keyed by the document id, no unbounded dimension is ever
+    * broadcast, and no array lambda references the upstream split
+    * (the explode+window form evaluates each token exactly once; see
+    * [[winnowFingerprintsTokens]] for why the nested-`transform`
+    * form is O(n²) after projection collapse).
+    */
+  def repetitionProfile(df: org.apache.spark.sql.DataFrame, idCol: String,
+                        textCol: String, chunk: Int = 5)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = filter(split(lower(col(textCol)), "[^a-z0-9_]+"),
+      t => length(t) > 0)
+    val ex = df.select(col(idCol), posexplode(toks).as(Seq("pos", "tok")))
+    val wLead = Window.partitionBy(idCol).orderBy("pos")
+    val bgStats = ex
+      .withColumn("nxt", lead(col("tok"), 1).over(wLead))
+      .filter(col("nxt").isNotNull)
+      .select(col(idCol), concat_ws(" ", col("tok"), col("nxt")).as("bg"))
+      .groupBy(col(idCol), col("bg")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol))
+      .agg(max(col("c")).as("top_bigram_count"),
+        sum(col("c")).as("total_bigrams"))
+    // complete fixed-width pseudo-lines; token order inside a line is
+    // restored by sorting the (pos, tok) structs collected per line —
+    // a per-line array of `chunk` elements, never the whole doc
+    val lineStats = ex
+      .withColumn("line_id", expr(s"pos div $chunk"))
+      .groupBy(col(idCol), col("line_id"))
+      .agg(count(lit(1)).as("n"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          s => s.getField("tok"))).as("line"))
+      .filter(col("n") === chunk)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_lines"),
+        (count(lit(1)) - countDistinct(col("line"))).as("n_dup_lines"))
+    df.select(col(idCol)).distinct()
+      .join(bgStats, Seq(idCol), "left")
+      .join(lineStats, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("total_bigrams"), lit(0L)).as("total_bigrams"),
+        coalesce(col("top_bigram_count"), lit(0L)).as("top_bigram_count"),
+        when(coalesce(col("total_bigrams"), lit(0L)) === 0, lit(0.0))
+          .otherwise(round(col("top_bigram_count").cast("double") /
+            col("total_bigrams"), 4)).as("top_bigram_frac"),
+        coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+        when(coalesce(col("n_lines"), lit(0L)) === 0, lit(0.0))
+          .otherwise(round(col("n_dup_lines").cast("double") /
+            col("n_lines"), 4)).as("dup_line_frac"))
+  }
+
+  /** PII patterns, deliberately RE2-compatible (no backreferences or
+    * lookaround) so the DuckDB oracle evaluates the SAME pattern:
+    * redaction must be bit-identical across engines or the scrub is
+    * untestable. Email first, then IPv4 — fixed order so an address
+    * whose host is a dotted quad scrubs deterministically.
+    */
+  val EmailPattern = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val Ipv4Pattern = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+
+  /** Match counts on the ORIGINAL text (pre-scrub). Pure Catalyst. */
+  def emailCount(text: Column): Column =
+    regexp_count(text, lit(EmailPattern)).cast("int")
+  def ipv4Count(text: Column): Column =
+    regexp_count(text, lit(Ipv4Pattern)).cast("int")
+
+  /** Redact emails then IPv4s — the pre-training scrub step. Pure
+    * Catalyst (two codegen'd regexp_replace passes), no UDF.
+    */
+  def scrubPii(text: Column): Column =
+    regexp_replace(regexp_replace(text, EmailPattern, "<EMAIL>"),
+      Ipv4Pattern, "<IP>")
+
   /** Winnowing document fingerprint: rolling xxhash64 over `k`-token
     * windows, keep the minimum of every `w`-window (local minima), and
     * return the sorted distinct selected hashes. Robust to small edits

@@ -475,6 +475,48 @@ object QueryCatalog {
             size(w).cast("double")), 4).as("stop_ratio"))
   }
 
+  /** Gopher-style repetition signals over the documents table
+    * ([[TextAnalysis.repetitionProfile]]): top-bigram occupancy +
+    * duplicate 5-token pseudo-line fraction — the pre-dedup template/
+    * keyword-stuffing gate of a curation pipeline.
+    */
+  def qRepetitionProfile(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.repetitionProfile(t(spark, dir, "documents"),
+      "doc_id", "text", chunk = 5)
+
+  /** PII scrub ([[TextAnalysis.scrubPii]]): the corpus carries no PII,
+    * so addresses are synthesized IN-QUERY, deterministically per row
+    * (the oracle states the same concatenation) — including a
+    * TLD-less `x@y` that must NOT match. Counts are pre-scrub; the
+    * scrub itself is verified by hash of the redacted text.
+    */
+  def qPiiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val synth = concat(col("text"), lit(" contact "), col("source"),
+      lit("@example.com from 10.0."), (col("doc_id") % 256).cast("string"),
+      lit(".77"),
+      when(col("doc_id") % 3 === 0, lit(" cc admin@test.org x@y"))
+        .otherwise(lit("")))
+    t(spark, dir, "documents").select(col("doc_id"),
+      TextAnalysis.emailCount(synth).as("n_emails"),
+      TextAnalysis.ipv4Count(synth).as("n_ips"),
+      md5(TextAnalysis.scrubPii(synth)).as("scrub_hash"))
+  }
+
+  /** Corpus length-distribution profile: per-language ntile(10)
+    * deciles of document length (count + bounds per decile) — the
+    * length-histogram a curation run reads before picking truncation
+    * and filter thresholds. Deterministic tie-break by doc_id.
+    */
+  def qLengthDeciles(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("lang").orderBy(col("n_chars"), col("doc_id"))
+    t(spark, dir, "documents")
+      .withColumn("decile", ntile(10).over(w))
+      .groupBy(col("lang"), col("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+  }
+
   /** Winnow-min fingerprint summary, oracle-checkable end to end AND
     * throughput-shaped: TOKEN 5-gram portable hashes, window-8 minima,
     * distinct set — pure Catalyst

@@ -131,4 +131,47 @@ class TextAnalysisSpec extends AnyFunSuite {
     // tie case: in doc 3, common scores 1*(3-3+1)=1 -> rank 2
     assert(top((3L, 2)) === ("common", 1L))
   }
+
+  test("repetitionProfile: bigram occupancy + duplicate pseudo-lines") {
+    // doc 1: "a b" bigram repeats; two identical 2-token lines of 4
+    //   tokens: a b | a b -> toks [a,b,a,b], bigrams: "a b","b a","a b"
+    //   -> top=2 of 3; chunk=2 lines: [a b],[a b] -> 1 dup of 2
+    // doc 2: all-distinct tokens -> top bigram 1/3, no dup lines
+    // doc 3: one token -> no bigrams, no complete line
+    // doc 4: empty -> zeros
+    val df = Seq(
+      (1L, "a b a b"), (2L, "w x y z"), (3L, "solo"), (4L, ""))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.repetitionProfile(df, "doc_id", "text", chunk = 2)
+      .collect().map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getDouble(3), x.getLong(4),
+          x.getDouble(5)))).toMap
+    assert(r(1L) === ((3L, 2L, 0.6667, 2L, 0.5)))
+    assert(r(2L) === ((3L, 1L, 0.3333, 2L, 0.0)))
+    assert(r(3L) === ((0L, 0L, 0.0, 0L, 0.0)))
+    assert(r(4L) === ((0L, 0L, 0.0, 0L, 0.0)))
+  }
+
+  test("scrubPii redacts emails then IPv4s; counts are pre-scrub") {
+    val df = Seq(
+      "mail bob.smith+x@corp.example.org and 10.0.3.77 and x@y end",
+      "no pii here",
+      "two a@b.co c@d.io ips 1.2.3.4 999.999.1.1").toDF("text")
+    val out = df.select(
+      TextAnalysis.emailCount($"text").as("e"),
+      TextAnalysis.ipv4Count($"text").as("i"),
+      TextAnalysis.scrubPii($"text").as("s")).collect()
+    assert(out(0).getInt(0) === 1) // x@y has no TLD -> not an email
+    assert(out(0).getInt(1) === 1)
+    assert(out(0).getString(2) ===
+      "mail <EMAIL> and <IP> and x@y end")
+    assert(out(1).getInt(0) === 0 && out(1).getInt(1) === 0)
+    assert(out(1).getString(2) === "no pii here")
+    assert(out(2).getInt(0) === 2)
+    // "999.999.1.1" matches the 1-3-digit octet pattern — the scrub
+    // is a pattern gate, not a semantic validator (identical in both
+    // engines; pinned here).
+    assert(out(2).getInt(1) === 2)
+    assert(out(2).getString(2) === "two <EMAIL> <EMAIL> ips <IP> <IP>")
+  }
 }
