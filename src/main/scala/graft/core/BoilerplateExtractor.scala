@@ -36,15 +36,15 @@ object BoilerplateExtractor {
   /** Block tags subject to link-density pruning (utils.py:309). */
   val NodesToPurge: Set[String] = Set("div", "table", "ul", "ol", "dl", "p")
 
-  private val XmlComment = Pattern.compile("<!--.*?-->", Pattern.DOTALL)
-  private val ScriptBlock = Pattern.compile("<script.*?</script[^>]*>",
-    Pattern.DOTALL | Pattern.CASE_INSENSITIVE)
-  private val PBrTag = Pattern.compile("</?(p|br)\\s?/?>")
-  private val AnyTag = Pattern.compile("<[^<>]+>")
-  private val LeadingWs = Pattern.compile("^(\\s)+")
-  private val BlankLines = Pattern.compile("^(\\s*\\n)+", Pattern.MULTILINE)
-  private val NullChars = Pattern.compile("\\x00")
   private val Whitespace = Pattern.compile("\\s+")
+
+  /** Java-regex `\s` (no UNICODE flag): exactly [ \t\n\x0B\f\r]. The
+    * manual scans below must match the regex spec twins char for char,
+    * so this must NOT be Character.isWhitespace (which differs on
+    * U+001C-001F and unicode spaces).
+    */
+  @inline private def isRegexSpace(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
 
   def extractText(html: Array[Byte]): String =
     extractText(new String(html, java.nio.charset.StandardCharsets.UTF_8))
@@ -101,11 +101,86 @@ object BoilerplateExtractor {
     * bodies, so they are NOT expressible as DOM transforms.
     */
   def cleanedPage(rawPage: String): String = {
-    var page = XmlComment.matcher(rawPage).replaceAll("")
+    var page = removeXmlComments(rawPage)
     // case-insensitive scan without lowercasing (copying) the page
     val htmlIdx = HtmlDom.indexOfIgnoreCase(page, "<html", 0)
     if (htmlIdx > 0) page = page.substring(htmlIdx)
-    ScriptBlock.matcher(page).replaceAll("")
+    removeScriptBlocks(page)
+  }
+
+  /** `<!--.*?-->` (DOTALL) → "" as a manual scan — byte-identical to
+    * the regex (fuzz-pinned in BoilerplateExtractorSpec), no regex
+    * engine, no copy when nothing matches. A `<!--` with no `-->` at
+    * or after open+4 never matches, and then no later open can either.
+    */
+  private def removeXmlComments(s: String): String = {
+    var open = s.indexOf("<!--")
+    if (open < 0) return s
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    var done = false
+    while (!done && open >= 0) {
+      val close = s.indexOf("-->", open + 4)
+      if (close < 0) done = true
+      else {
+        sb.append(s, i, open)
+        i = close + 3
+        open = s.indexOf("<!--", i)
+      }
+    }
+    if (i == 0) s
+    else { sb.append(s, i, s.length); sb.toString }
+  }
+
+  /** ASCII-only case-insensitive find (needle must be lowercase): the
+    * exact semantics of Pattern.CASE_INSENSITIVE without UNICODE_CASE,
+    * which [[HtmlDom.indexOfIgnoreCase]]'s regionMatches does NOT have
+    * (it unifies e.g. U+017F long-s with 's'; the regex twin doesn't).
+    */
+  private def indexOfAsciiIgnoreCase(h: String, needleLower: String,
+                                     from: Int): Int = {
+    val n = h.length
+    val m = needleLower.length
+    var i = math.max(from, 0)
+    while (i <= n - m) {
+      var j = 0
+      var ok = true
+      while (ok && j < m) {
+        val c = h.charAt(i + j)
+        val l = needleLower.charAt(j)
+        if (c != l && !(c >= 'A' && c <= 'Z' && (c + 32) == l)) ok = false
+        j += 1
+      }
+      if (ok) return i
+      i += 1
+    }
+    -1
+  }
+
+  /** `<script.*?</script[^>]*>` (DOTALL, CASE_INSENSITIVE) → "" as a
+    * manual scan. Reluctant `.*?` = first `</script` after the open
+    * that completes with a `>`; if the first candidate has no `>`
+    * after it, no later candidate can, and no later `<script` can
+    * match either — so the scan is linear.
+    */
+  private def removeScriptBlocks(s: String): String = {
+    var open = indexOfAsciiIgnoreCase(s, "<script", 0)
+    if (open < 0) return s
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    var done = false
+    while (!done && open >= 0) {
+      val e = indexOfAsciiIgnoreCase(s, "</script", open + 7)
+      val g = if (e < 0) -1 else s.indexOf('>', e + 8)
+      if (g < 0) done = true
+      else {
+        sb.append(s, i, open)
+        i = g + 1
+        open = indexOfAsciiIgnoreCase(s, "<script", i)
+      }
+    }
+    if (i == 0) s
+    else { sb.append(s, i, s.length); sb.toString }
   }
 
   /** Parse + apply all DOM-level pruning; returns the pruned document. */
@@ -215,13 +290,21 @@ object BoilerplateExtractor {
     * `<p>`/`<br>` → newline, any other tag → space, leading whitespace
     * dropped, blank-line runs collapsed, `&nbsp;`/`&raquo;` fixed,
     * entity-decode second pass, trim.
+    *
+    * The four page-sized regex passes (`\x00`, `</?(p|br)\s?/?>`,
+    * `<[^<>]+>`, `(?m)^(\s*\n)+`) are manual linear scans — the regex
+    * originals live on as spec twins in BoilerplateExtractorSpec and a
+    * seeded fuzz suite pins byte-identity. Rationale: this runs once
+    * per page in the wave hot path, and the regex engine's per-match
+    * allocation was a measurable slice of extract CPU (MicroBench
+    * --phases).
     */
   def stripHtml(textIn: String): String = {
-    var text = NullChars.matcher(textIn).replaceAll("")
-    text = PBrTag.matcher(text).replaceAll("\n")
-    text = AnyTag.matcher(text).replaceAll(" ")
-    text = LeadingWs.matcher(text).replaceFirst("")
-    text = BlankLines.matcher(text).replaceAll("\n")
+    var text = removeNulls(textIn)
+    text = replacePBrTags(text)
+    text = replaceAnyTags(text)
+    text = dropLeadingRegexSpace(text)
+    text = collapseBlankLines(text)
     // two hardcoded junk-string removals kept for fidelity (utils.py:120-121)
     text = text.replace("');\" onMouseOut=\"setTimeout('hideLayer()',500);\" class=hotlink2>", "")
     text = text.replace("Click for the lowest price on dmnobieblank", "")
@@ -229,6 +312,133 @@ object BoilerplateExtractor {
     text = text.replace("&raquo;", "")
     text = Entities.decode(text)
     text.trim
+  }
+
+  /** `\x00` → "" (no copy when absent). */
+  private def removeNulls(s: String): String = {
+    if (s.indexOf('\u0000') < 0) return s
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c != '\u0000') sb.append(c)
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** Match end (exclusive) of `</?(p|br)\s?/?>` anchored at `lt`, or
+    * -1 — suffix alternatives tried in the regex's greedy backtrack
+    * order (`\s/>`, `\s>`, `/>`, `>`). The `(p|br)` alternation needs
+    * no backtracking: the branches differ in their first char.
+    */
+  private def matchPBr(s: String, lt: Int): Int = {
+    val n = s.length
+    var j = lt + 1
+    if (j < n && s.charAt(j) == '/') j += 1
+    if (j < n && s.charAt(j) == 'p') j += 1
+    else if (j + 1 < n && s.charAt(j) == 'b' && s.charAt(j + 1) == 'r') j += 2
+    else return -1
+    if (j < n && isRegexSpace(s.charAt(j))) {
+      if (j + 2 < n && s.charAt(j + 1) == '/' && s.charAt(j + 2) == '>') return j + 3
+      if (j + 1 < n && s.charAt(j + 1) == '>') return j + 2
+    }
+    if (j + 1 < n && s.charAt(j) == '/' && s.charAt(j + 1) == '>') return j + 2
+    if (j < n && s.charAt(j) == '>') return j + 1
+    -1
+  }
+
+  /** `</?(p|br)\s?/?>` → "\n". */
+  private def replacePBrTags(s: String): String = {
+    var lt = s.indexOf('<')
+    if (lt < 0) return s
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (lt >= 0) {
+      val end = matchPBr(s, lt)
+      if (end > 0) { sb.append(s, i, lt).append('\n'); i = end }
+      lt = s.indexOf('<', if (end > 0) end else lt + 1)
+    }
+    if (i == 0) s
+    else { sb.append(s, i, s.length); sb.toString }
+  }
+
+  /** `<[^<>]+>` → " ". On a failed attempt the next possible match
+    * start is the next '<', so the scan is linear.
+    */
+  private def replaceAnyTags(s: String): String = {
+    val n = s.length
+    var lt = s.indexOf('<')
+    if (lt < 0) return s
+    val sb = new java.lang.StringBuilder(n)
+    var i = 0
+    var changed = false
+    while (lt >= 0) {
+      var j = lt + 1
+      while (j < n && s.charAt(j) != '<' && s.charAt(j) != '>') j += 1
+      if (j < n && s.charAt(j) == '>' && j > lt + 1) {
+        sb.append(s, i, lt).append(' ')
+        i = j + 1
+        changed = true
+        lt = s.indexOf('<', i)
+      } else {
+        lt = s.indexOf('<', lt + 1)
+      }
+    }
+    if (!changed) s
+    else { sb.append(s, i, n); sb.toString }
+  }
+
+  /** `^(\s)+` replaceFirst "". */
+  private def dropLeadingRegexSpace(s: String): String = {
+    var i = 0
+    while (i < s.length && isRegexSpace(s.charAt(i))) i += 1
+    if (i == 0) s else s.substring(i)
+  }
+
+  /** `(?m)^(\s*\n)+` → "\n". At a line start the greedy match is the
+    * maximal run of `\s` chars truncated at its LAST newline (one
+    * `\s*\n` iteration suffices — `\s` includes `\n`); MULTILINE `^`
+    * also matches after CR, NEL (U+0085), LS (U+2028), PS (U+2029) (after the
+    * `\n` of a `\r\n` pair, not between).
+    */
+  private def collapseBlankLines(s: String): String = {
+    val n = s.length
+    var sb: java.lang.StringBuilder = null
+    var i = 0
+    var p = 0
+    while (p < n) {
+      // p is a ^ position
+      var r = p
+      var lastNl = -1
+      while (r < n && isRegexSpace(s.charAt(r))) {
+        if (s.charAt(r) == '\n') lastNl = r
+        r += 1
+      }
+      if (lastNl >= 0) {
+        if (sb == null) sb = new java.lang.StringBuilder(n)
+        sb.append(s, i, p).append('\n')
+        i = lastNl + 1
+        p = lastNl + 1
+      } else {
+        // no match here; advance to the next line start
+        var q = p
+        var next = n
+        var found = false
+        while (!found && q < n) {
+          val c = s.charAt(q)
+          if (c == '\n' || c == '\u0085' || c == '\u2028' || c == '\u2029') {
+            next = q + 1; found = true
+          } else if (c == '\r') {
+            next = if (q + 1 < n && s.charAt(q + 1) == '\n') q + 2 else q + 1
+            found = true
+          } else q += 1
+        }
+        p = next
+      }
+    }
+    if (sb == null) s
+    else { sb.append(s, i, n); sb.toString }
   }
 
   /** Page title (reference: crawler/connectors/htmlconnector.py:116-125):

@@ -179,7 +179,7 @@ object HtmlDom {
     out.toList
   }
 
-  private[core] def indexOfIgnoreCase(haystack: String, needle: String, from: Int): Int = {
+  private[graft] def indexOfIgnoreCase(haystack: String, needle: String, from: Int): Int = {
     val n = haystack.length
     val m = needle.length
     var i = math.max(from, 0)

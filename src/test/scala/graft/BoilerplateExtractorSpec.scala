@@ -192,4 +192,111 @@ class BoilerplateExtractorSpec extends AnyFunSuite {
     divs.head.extract()
     assert(doc.findAll(Set("div")).size === 1)
   }
+
+  // ---- regex spec twins for the manual-scan hot path ----
+  //
+  // stripHtml/cleanedPage replaced their page-sized regex passes with
+  // manual linear scans (extract CPU); the ORIGINAL regex pipeline
+  // lives on here as the executable spec, and a seeded fuzz suite
+  // pins byte-identity. Any divergence is a per-url byte-identity
+  // break — the north-rule contract — so these must stay green.
+
+  import java.util.regex.Pattern
+  import graft.core.Entities
+
+  private val XmlComment = Pattern.compile("<!--.*?-->", Pattern.DOTALL)
+  private val ScriptBlock = Pattern.compile("<script.*?</script[^>]*>",
+    Pattern.DOTALL | Pattern.CASE_INSENSITIVE)
+  private val PBrTag = Pattern.compile("</?(p|br)\\s?/?>")
+  private val AnyTag = Pattern.compile("<[^<>]+>")
+  private val LeadingWs = Pattern.compile("^(\\s)+")
+  private val BlankLines = Pattern.compile("^(\\s*\\n)+", Pattern.MULTILINE)
+  private val NullChars = Pattern.compile("\\x00")
+
+  private def stripHtmlRegexTwin(textIn: String): String = {
+    var text = NullChars.matcher(textIn).replaceAll("")
+    text = PBrTag.matcher(text).replaceAll("\n")
+    text = AnyTag.matcher(text).replaceAll(" ")
+    text = LeadingWs.matcher(text).replaceFirst("")
+    text = BlankLines.matcher(text).replaceAll("\n")
+    text = text.replace("');\" onMouseOut=\"setTimeout('hideLayer()',500);\" class=hotlink2>", "")
+    text = text.replace("Click for the lowest price on dmnobieblank", "")
+    text = text.replace("&nbsp;", " ")
+    text = text.replace("&raquo;", "")
+    text = Entities.decode(text)
+    text.trim
+  }
+
+  private def cleanedPageRegexTwin(rawPage: String): String = {
+    var page = XmlComment.matcher(rawPage).replaceAll("")
+    val htmlIdx = HtmlDom.indexOfIgnoreCase(page, "<html", 0)
+    if (htmlIdx > 0) page = page.substring(htmlIdx)
+    ScriptBlock.matcher(page).replaceAll("")
+  }
+
+  // Alphabet weighted toward the tokens the scans dispatch on, plus
+  // the characters where Java regex `\s` / ASCII-CI differ from the
+  // naive library calls: U+000B/U+001C (isWhitespace disagreements),
+  // U+00A0/U+2007 (unicode spaces, NOT `\s`), U+0085/U+2028/U+2029
+  // (MULTILINE line terminators that are not `\n`), U+017F (long s —
+  // folds to 's' under regionMatches ignoreCase but not ASCII-CI).
+  private val FuzzTokens: Vector[String] = Vector(
+    "<", ">", "/", "p", "b", "r", "br", "a", "x", " ", "  ", "\t", "\n",
+    "\n\n", "\r", "\r\n", "\u000B", "\f", "\u0000", "\u001C", "\u00A0",
+    "\u2007", "\u0085", "\u2028", "\u2029", "\u017F", "<p>", "</p>",
+    "<br/>", "<br >", "<p \t>", "<P>", "<!--", "-->", "<!---->",
+    "<script", "</script", "<script>", "</script>", "</SCRIPT foo >",
+    "<ScRiPt", "<html", "<HTML>", "<\u017Fcript", "&nbsp;", "&amp;",
+    "&raquo;", "<>", "<<", "<a href='/x'>", "text with words")
+
+  private def fuzzString(rnd: scala.util.Random): String = {
+    val n = rnd.nextInt(40)
+    val sb = new StringBuilder
+    (0 until n).foreach { _ =>
+      if (rnd.nextInt(10) == 0) sb.append(rnd.nextPrintableChar())
+      else sb.append(FuzzTokens(rnd.nextInt(FuzzTokens.size)))
+    }
+    sb.toString
+  }
+
+  test("fuzz: stripHtml manual scans are byte-identical to the regex pipeline") {
+    val rnd = new scala.util.Random(0xb0117e5L)
+    (1 to 4000).foreach { i =>
+      val s = fuzzString(rnd)
+      assert(BE.stripHtml(s) === stripHtmlRegexTwin(s),
+        s"stripHtml diverged on case $i: ${s.map(_.toInt).mkString("[", ",", "]")}")
+    }
+  }
+
+  test("fuzz: cleanedPage manual scans are byte-identical to the regex pipeline") {
+    val rnd = new scala.util.Random(0xc1ea4ed0L)
+    (1 to 4000).foreach { i =>
+      val s = fuzzString(rnd)
+      assert(BE.cleanedPage(s) === cleanedPageRegexTwin(s),
+        s"cleanedPage diverged on case $i: ${s.map(_.toInt).mkString("[", ",", "]")}")
+    }
+  }
+
+  test("manual scans equal regex twins on hand edges and the synthetic corpus") {
+    val edges = Seq(
+      "", " ", "a\r\n\r\nb", "\r\rx", "<p \t>", "<p>", "<p/>",
+      "<br\n>", "<pbr>", "<!---->", "<!----->", "<!-- unterminated",
+      "<!-->", "x<!-- a --><!-- b -->y", "<script>no close",
+      "<script>a</script", "<SCRIPT a='b'>x</ScRiPt junk >after",
+      "<ſcript>x</script>", "<html><script>s</script>",
+      "pre<HTML lang=x>body", "<>", "<<a>", "< >", "a\n\n\n\nb",
+      "\n\nlead", " \t\r\nlead", "ab", "a \n b",
+      "x&nbsp;&raquo;&amp;y")
+    edges.foreach { s =>
+      assert(BE.stripHtml(s) === stripHtmlRegexTwin(s), s"stripHtml: $s")
+      assert(BE.cleanedPage(s) === cleanedPageRegexTwin(s), s"cleanedPage: $s")
+    }
+    val spec = graft.crawl.SyntheticCorpus.Spec(numUrls = 60, numHosts = 5)
+    (0L until 60L).foreach { i =>
+      val html = graft.crawl.SyntheticCorpus.htmlFor(i, spec)
+      val cleaned = BE.cleanedPage(html)
+      assert(cleaned === cleanedPageRegexTwin(html))
+      assert(BE.stripHtml(cleaned) === stripHtmlRegexTwin(cleaned))
+    }
+  }
 }
