@@ -36,7 +36,6 @@ object BoilerplateExtractor {
   /** Block tags subject to link-density pruning (utils.py:309). */
   val NodesToPurge: Set[String] = Set("div", "table", "ul", "ol", "dl", "p")
 
-  private val Whitespace = Pattern.compile("\\s+")
 
   /** Java-regex `\s` (no UNICODE flag): exactly [ \t\n\x0B\f\r]. The
     * manual scans below must match the regex spec twins char for char,
@@ -251,39 +250,88 @@ object BoilerplateExtractor {
     }
   }
 
-  /** Apply the keep/delete decision to one block (utils.py:350-449). */
-  private def evaluateBlock(current: HtmlDom.Elem): Unit = {
-    {
-      val texts = current.textNodes.map(_.value)
-      if (texts.isEmpty) current.extract()
-      else {
-        val links = current.findAll(Set("a")).filter(_.attrs.contains("href"))
-        val linkContents = links.map(_.renderContents()).filter(_.nonEmpty)
-        val joinedLinks = linkContents.mkString("")
-        var linkTextLength = joinedLinks.length
-        val linkWords = splitWords(joinedLinks).length
+  /** Streaming length + word counter over a concatenation of strings,
+    * byte-equivalent to `Whitespace.split(concat.trim).length` (the
+    * original `splitWords(texts.mkString(""))` recipe) without ever
+    * building the concatenation. `String.trim` strips chars <= 0x20 —
+    * a superset of regex `\s` — so a token is a maximal non-`\s` run
+    * that is not entirely confined to the trimmed-off edges: runs made
+    * only of "weak" chars (<= 0x20 but not `\s`, i.e. the C0 controls
+    * outside \t\n\x0B\f\r) count only when a "strong" char (> 0x20)
+    * occurs both before and after them. Fuzz-pinned against the
+    * splitWords twin in BoilerplateExtractorSpec.
+    */
+  private[graft] final class WordScan extends HtmlDom.CharSink {
+    var length = 0
+    var words = 0
+    private var inWord = false
+    private var curCounted = false
+    private var seenStrong = false
+    private var pendingWeak = 0
 
-        val joinedText = texts.mkString("")
-        var textCount = texts.length - links.length
-        val textLength = joinedText.length - linkTextLength
-        val textWords = splitWords(joinedText).length - linkWords
-
-        if (linkTextLength == 0) linkTextLength = 1
-        if (textCount == 0) textCount = 1
-
-        if (textWords == 0) current.extract() // no text data
-        else if (Math.floorDiv(textLength + linkTextLength, linkTextLength) < 3)
-          current.extract() // too link-dense
-        else if (Math.floorDiv(textWords, textCount) < 5)
-          current.extract() // too-short sentences
-        else current.flagged = false // keep
+    def put(c: Char): Unit = {
+      length += 1
+      if (isRegexSpace(c)) {
+        if (inWord) { inWord = false; if (!curCounted) pendingWeak += 1 }
+      } else {
+        if (!inWord) { inWord = true; curCounted = false }
+        if (c > ' ') {
+          if (!seenStrong) { seenStrong = true; pendingWeak = 0 }
+          if (!curCounted) { words += pendingWeak + 1; pendingWeak = 0; curCounted = true }
+        }
       }
+    }
+
+    def put(s: String): Unit = {
+      var i = 0
+      while (i < s.length) { put(s.charAt(i)); i += 1 }
     }
   }
 
-  private def splitWords(s: String): Array[String] = {
-    val t = s.trim
-    if (t.isEmpty) Array.empty else Whitespace.split(t)
+  /** The six per-block numbers the keep/delete decision reads, via
+    * streaming scans (no joined strings, no renderContents strings,
+    * no split arrays). `textLen`/`textWords` are of the text-node
+    * concatenation; `linkLen`/`linkWords` of the concatenated link
+    * renderContents — one scan across all links replicates the
+    * original `mkString("")` word-run merging at link boundaries
+    * (and the `.filter(_.nonEmpty)` is a concatenation no-op).
+    */
+  private[graft] final case class BlockStats(
+      texts: Int, links: Int, textLen: Int, textWords: Int,
+      linkLen: Int, linkWords: Int)
+
+  private[graft] def blockStats(current: HtmlDom.Elem): BlockStats = {
+    val texts = current.textNodes
+    val links = current.findAll(Set("a")).filter(_.attrs.contains("href"))
+    val linkScan = new WordScan
+    links.foreach(_.children.foreach(n =>
+      HtmlDom.render(n, linkScan, decodeEntities = false)))
+    val textScan = new WordScan
+    texts.foreach(t => textScan.put(t.value))
+    BlockStats(texts.length, links.length, textScan.length, textScan.words,
+      linkScan.length, linkScan.words)
+  }
+
+  /** Apply the keep/delete decision to one block (utils.py:350-449). */
+  private def evaluateBlock(current: HtmlDom.Elem): Unit = {
+    val s = blockStats(current)
+    if (s.texts == 0) current.extract()
+    else {
+      var linkTextLength = s.linkLen
+      var textCount = s.texts - s.links
+      val textLength = s.textLen - linkTextLength
+      val textWords = s.textWords - s.linkWords
+
+      if (linkTextLength == 0) linkTextLength = 1
+      if (textCount == 0) textCount = 1
+
+      if (textWords == 0) current.extract() // no text data
+      else if (Math.floorDiv(textLength + linkTextLength, linkTextLength) < 3)
+        current.extract() // too link-dense
+      else if (Math.floorDiv(textWords, textCount) < 5)
+        current.extract() // too-short sentences
+      else current.flagged = false // keep
+    }
   }
 
   /** Tag-stripping text finisher (reference: stripHtml, utils.py:100-139).

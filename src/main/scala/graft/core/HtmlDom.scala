@@ -279,7 +279,24 @@ object HtmlDom {
     * Iterative (explicit work stack) — deep nesting must not overflow
     * an executor thread's stack.
     */
-  def render(node: Node, sb: StringBuilder, decodeEntities: Boolean): Unit = {
+  /** Minimal character receiver so serialization can feed either a
+    * StringBuilder or a streaming counter (BoilerplateExtractor's
+    * WordScan) without materializing the markup string.
+    */
+  trait CharSink {
+    def put(s: String): Unit
+    def put(c: Char): Unit
+  }
+
+  private final class SbSink(sb: StringBuilder) extends CharSink {
+    def put(s: String): Unit = { sb.append(s); () }
+    def put(c: Char): Unit = { sb.append(c); () }
+  }
+
+  def render(node: Node, sb: StringBuilder, decodeEntities: Boolean): Unit =
+    render(node, new SbSink(sb), decodeEntities)
+
+  def render(node: Node, sink: CharSink, decodeEntities: Boolean): Unit = {
     sealed trait Work
     final case class Visit(n: Node) extends Work
     final case class CloseTag(name: String) extends Work
@@ -287,18 +304,18 @@ object HtmlDom {
     stack.push(Visit(node))
     while (!stack.isEmpty) {
       stack.pop() match {
-        case CloseTag(name) => sb.append("</").append(name).append('>')
+        case CloseTag(name) => sink.put("</"); sink.put(name); sink.put('>')
         case Visit(t: Text) =>
-          sb.append(if (decodeEntities) Entities.decode(t.value) else t.value)
+          sink.put(if (decodeEntities) Entities.decode(t.value) else t.value)
         case Visit(_: Comment) => // comments never serialize
         case Visit(e: Elem) =>
           val isDoc = e.name == "[document]"
           if (!isDoc) {
-            sb.append('<').append(e.name)
+            sink.put('<'); sink.put(e.name)
             e.attrs.foreach { case (k, v) =>
-              sb.append(' ').append(k).append("=\"").append(v).append('"')
+              sink.put(' '); sink.put(k); sink.put("=\""); sink.put(v); sink.put('"')
             }
-            sb.append('>')
+            sink.put('>')
           }
           if (!isDoc && !VoidElements.contains(e.name)) stack.push(CloseTag(e.name))
           var i = e.children.length - 1

@@ -259,6 +259,43 @@ class BoilerplateExtractorSpec extends AnyFunSuite {
     sb.toString
   }
 
+  // Twin of the ORIGINAL evaluateBlock string recipe: joined strings +
+  // renderContents + trim/\s+-split, replaced in the main source by
+  // streaming WordScan counts (allocation was ~half of prune CPU).
+  private def splitWordsTwin(s: String): Int = {
+    val t = s.trim
+    if (t.isEmpty) 0 else t.split("\\s+").length
+  }
+
+  private def blockStatsTwin(e: HtmlDom.Elem) = {
+    val texts = e.textNodes.map(_.value)
+    val links = e.findAll(Set("a")).filter(_.attrs.contains("href"))
+    val joinedLinks = links.map(_.renderContents()).filter(_.nonEmpty).mkString("")
+    val joinedText = texts.mkString("")
+    (texts.length, links.length, joinedText.length, splitWordsTwin(joinedText),
+      joinedLinks.length, splitWordsTwin(joinedLinks))
+  }
+
+  test("fuzz: streaming blockStats equals the string-building twin on every node") {
+    val tagTokens = Vector("<a href='/x'>", "<a>", "</a>", "<div>", "</div>",
+      "<p>", "</p>", "<ul>", "<li>", "</li>", "<br>", "<span>", "</span>")
+    val rnd = new scala.util.Random(0x57a7511L)
+    (1 to 600).foreach { i =>
+      val sb = new StringBuilder("<html><body>")
+      (0 until rnd.nextInt(30)).foreach { _ =>
+        if (rnd.nextInt(3) == 0) sb.append(tagTokens(rnd.nextInt(tagTokens.size)))
+        else sb.append(fuzzString(rnd))
+      }
+      val doc = HtmlDom.parse(sb.toString)
+      (doc :: doc.descendants).foreach { e =>
+        val s = BE.blockStats(e)
+        assert((s.texts, s.links, s.textLen, s.textWords, s.linkLen, s.linkWords)
+          === blockStatsTwin(e), s"blockStats diverged on case $i <${e.name}>: ${sb.toString
+            .map(_.toInt).mkString("[", ",", "]")}")
+      }
+    }
+  }
+
   test("fuzz: stripHtml manual scans are byte-identical to the regex pipeline") {
     val rnd = new scala.util.Random(0xb0117e5L)
     (1 to 4000).foreach { i =>
