@@ -89,6 +89,7 @@ object SparkEntry {
     "q_minhash_dedup" -> (qMinhashDedup(_, _)),
     "q_simhash_pairs" -> (qSimhashPairs(_, _)),
     "q_ngram_jaccard" -> (qNgramJaccard(_, _)),
+    "q_paragraph_dedup" -> (qParagraphDedup(_, _)),
     // similarity search
     "q_cosine_topk" -> (qCosineTopK(_, _)),
     "q_ann_lsh" -> (qAnnLsh(_, _)),
@@ -492,6 +493,31 @@ object SparkEntry {
         | round(len(list_intersect(a.wset, b.wset)) * 1.0 /
         |   len(list_distinct(list_concat(a.wset, b.wset))), 4) AS jaccard
         |FROM sets a JOIN sets b ON b.doc_id = a.doc_id + 1""".stripMargin,
+    "q_paragraph_dedup" ->
+      """WITH synth AS (
+        | SELECT doc_id, text || chr(10) ||
+        |  'standard site footer with terms of service privacy policy and contact details all rights reserved'
+        |  || chr(10) || 'cohort banner ' || CAST(doc_id % 7 AS varchar) ||
+        |  ' shared across one seventh of the corpus with enough characters to clear the dedup floor'
+        |  AS text
+        | FROM documents),
+        |flat AS (
+        | SELECT doc_id, pp.pos AS pos, pp.para AS para,
+        |  length(trim(pp.para)) >= 40 AS elig
+        | FROM (SELECT doc_id, unnest(list_transform(range(1, len(ps) + 1),
+        |    i -> {'pos': i - 1, 'para': ps[i]})) AS pp
+        |   FROM (SELECT doc_id, string_split(text, chr(10)) AS ps FROM synth))),
+        |keepf AS (
+        | SELECT doc_id, pos, para,
+        |  CASE WHEN NOT elig THEN true
+        |   ELSE row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) = 1
+        |  END AS keep
+        | FROM flat)
+        |SELECT doc_id, CAST(count(*) AS bigint) AS n_paras,
+        | CAST(sum(CASE WHEN NOT keep THEN 1 ELSE 0 END) AS bigint) AS n_dropped,
+        | md5(coalesce(string_agg(para, chr(10) ORDER BY pos)
+        |   FILTER (WHERE keep), '')) AS kept_hash
+        |FROM keepf GROUP BY doc_id""".stripMargin,
     "q_crawl_frequency_gate" ->
       """SELECT o_orderkey,
         | CAST(datediff('day', o_orderdate, DATE '1995-06-17') AS int) AS age_days,

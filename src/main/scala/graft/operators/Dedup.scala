@@ -518,4 +518,51 @@ object Dedup {
             size(array_union(col("sh_a"), col("sh_b"))).cast("double")))
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
+
+  // ---------- cross-corpus paragraph dedup (C4-style) ----------
+
+  /** Remove duplicated paragraphs ACROSS the corpus, keeping only the
+    * globally-first occurrence (lexicographic (doc_id, pos)) of each
+    * substantial paragraph — the C4 "discard repeated lines" curation
+    * stage, applied corpus-wide rather than per-page. Paragraphs
+    * shorter than `minLen` chars after space-trim are never deduped
+    * (navigation crumbs and one-word lines would otherwise collapse
+    * unrelated pages).
+    *
+    * Returns one row per input doc: total paragraph count, dropped
+    * count, and md5 of the kept text (paragraphs rejoined by newline
+    * in original order) so downstream equality checks need no text
+    * exchange.
+    *
+    * Scale shape at 10^10 docs: paragraphs dedup-key on md5 (32-byte
+    * key, not the text), first-occurrence via groupBy + partial-agg
+    * min(struct) — window-free — then one hash join of eligible
+    * paragraphs against the firsts table. Short paragraphs bypass the
+    * join entirely (they would all share a null key and pile onto one
+    * partition); viral-boilerplate hot keys are one row on the build
+    * side and AQE skew-split handles the probe side.
+    */
+  def paragraphDedup(df: DataFrame, idCol: String, textCol: String,
+                     minLen: Int = 40): DataFrame = {
+    val para = df.select(col(idCol).cast("long").as("doc_id"),
+        posexplode(split(col(textCol), "\n", -1)).as(Seq("pos", "para")))
+      .withColumn("elig", length(trim(col("para"))) >= minLen)
+    val eligible = para.filter(col("elig")).withColumn("h", md5(col("para")))
+    val firsts = eligible.groupBy("h")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("first"))
+    val keptElig = eligible.join(firsts, Seq("h"))
+      .withColumn("keep", col("first.doc_id") === col("doc_id") &&
+        col("first.pos") === col("pos"))
+      .select(col("doc_id"), col("pos"), col("para"), col("keep"))
+    val keptShort = para.filter(!col("elig"))
+      .select(col("doc_id"), col("pos"), col("para"), lit(true).as("keep"))
+    keptElig.unionByName(keptShort)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_paras"),
+        sum(when(!col("keep"), 1L).otherwise(0L)).as("n_dropped"),
+        md5(array_join(transform(
+          array_sort(collect_list(when(col("keep"),
+            struct(col("pos"), col("para"))))),
+          x => x.getField("para")), "\n")).as("kept_hash"))
+  }
 }

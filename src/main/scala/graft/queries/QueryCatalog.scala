@@ -484,6 +484,23 @@ object QueryCatalog {
     TextAnalysis.repetitionProfile(t(spark, dir, "documents"),
       "doc_id", "text", chunk = 5)
 
+  /** Cross-corpus paragraph dedup ([[Dedup.paragraphDedup]]): the
+    * synthetic corpus has few naturally repeated paragraphs, so a
+    * corpus-wide footer line and a doc_id%7-cohort banner line are
+    * appended in-query (the oracle states the same concatenation) —
+    * the footer survives in exactly one doc, each banner in seven
+    * first-of-cohort docs, everything else unchanged.
+    */
+  def qParagraphDedup(spark: SparkSession, dir: String): DataFrame = {
+    val synth = t(spark, dir, "documents").select(col("doc_id"),
+      concat(col("text"), lit("\n"),
+        lit("standard site footer with terms of service privacy policy and contact details all rights reserved"),
+        lit("\n"), lit("cohort banner "), (col("doc_id") % 7).cast("string"),
+        lit(" shared across one seventh of the corpus with enough characters to clear the dedup floor"))
+        .as("text"))
+    Dedup.paragraphDedup(synth, "doc_id", "text", minLen = 40)
+  }
+
   /** PII scrub ([[TextAnalysis.scrubPii]]): the corpus carries no PII,
     * so addresses are synthesized IN-QUERY, deterministically per row
     * (the oracle states the same concatenation) — including a

@@ -261,4 +261,27 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(byKind("image") === 1)
     assert(byKind("video") >= 1)
   }
+
+  test("paragraph dedup: first occurrence survives, short lines bypass, counts add up") {
+    val footer = "shared footer paragraph long enough to clear the dedup length floor easily"
+    val longA = "a genuinely substantial paragraph of original prose content number one here"
+    val longB = "another genuinely substantial paragraph of original prose content two here"
+    val rows = Seq(
+      (1L, s"$longA\nok\n$footer"),            // first: keeps everything
+      (2L, s"$longB\nok\n$footer"),            // footer dropped (doc 1 owns it)
+      (3L, s"$footer\nok\n$longA"),            // both long paras are repeats
+      (4L, s"$longA\n$longA"),                 // within-doc repeat: pos 0 kept
+      (5L, "ok\nok\nok"))                      // short lines: never deduped
+    val out = Dedup.paragraphDedup(rows.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    def h(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out(1L) === ((3L, 0L, h(s"$longA\nok\n$footer"))))
+    assert(out(2L) === ((3L, 1L, h(s"$longB\nok"))))
+    assert(out(3L) === ((3L, 2L, h("ok"))))
+    // longA globally first occurs in doc 1, so BOTH of doc 4's copies drop
+    assert(out(4L) === ((2L, 2L, h(""))))
+    assert(out(5L) === ((3L, 0L, h("ok\nok\nok"))))
+  }
 }
