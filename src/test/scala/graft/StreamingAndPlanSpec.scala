@@ -344,4 +344,36 @@ class StreamingAndPlanSpec extends AnyFunSuite {
       .select("term").distinct().as[String].collect().toSet
     assert(floorOnly === Set("alpha", "common"))
   }
+
+  test("paragraphDedup plan: window-free and no hinted broadcast") {
+    // First-occurrence selection must be the partial-aggregable
+    // groupBy+join, not a window over the paragraph key, and the
+    // firsts dimension (one row per distinct paragraph — unbounded on
+    // web text) must never reach the join as a hinted broadcast.
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeLike
+    import org.apache.spark.sql.execution.window.WindowExec
+    val prevStatic = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val out = graft.operators.Dedup.paragraphDedup(docs, "doc_id", "text")
+      assert(out.count() > 0)
+      val nodes = planNodes(out.queryExecution.executedPlan)
+      assert(nodes.collect { case w: WindowExec => w }.isEmpty,
+        "first-occurrence selection must not use a window")
+      assert(nodes.collect { case b: BroadcastExchangeLike => b }.isEmpty,
+        "the per-distinct-paragraph firsts dimension must not broadcast under a hint")
+    } finally {
+      prevStatic match {
+        case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+        case None => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      }
+      prevAqe match {
+        case Some(v) => spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", v)
+        case None => spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      }
+    }
+  }
 }
