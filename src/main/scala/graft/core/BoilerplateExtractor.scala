@@ -301,14 +301,26 @@ object BoilerplateExtractor {
       linkLen: Int, linkWords: Int)
 
   private[graft] def blockStats(current: HtmlDom.Elem): BlockStats = {
-    val texts = current.textNodes
-    val links = current.findAll(Set("a")).filter(_.attrs.contains("href"))
-    val linkScan = new WordScan
-    links.foreach(_.children.foreach(n =>
-      HtmlDom.render(n, linkScan, decodeEntities = false)))
+    var texts = 0
+    var links = 0
     val textScan = new WordScan
-    texts.foreach(t => textScan.put(t.value))
-    BlockStats(texts.length, links.length, textScan.length, textScan.words,
+    val linkScan = new WordScan
+    // ONE pre-order walk (walkNodes = document order): text nodes feed
+    // textScan in textNodes order; each href-anchor renders its
+    // contents into linkScan at the point the walk finds it — exactly
+    // findAll order — and a nested anchor renders again when the walk
+    // reaches it, preserving the original per-anchor renderContents
+    // double-count.
+    current.walkNodes {
+      case t: HtmlDom.Text =>
+        texts += 1
+        textScan.put(t.value)
+      case e: HtmlDom.Elem if e.name == "a" && e.attrs.contains("href") =>
+        links += 1
+        e.children.foreach(n => HtmlDom.render(n, linkScan, decodeEntities = false))
+      case _ =>
+    }
+    BlockStats(texts, links, textScan.length, textScan.words,
       linkScan.length, linkScan.words)
   }
 

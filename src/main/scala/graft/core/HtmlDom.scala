@@ -41,7 +41,7 @@ object HtmlDom {
       * deep and a recursive walk would overflow an executor thread's
       * stack (found by an adversarial 5000-deep probe).
       */
-    private def walkNodes(f: Node => Unit): Unit = {
+    private[core] def walkNodes(f: Node => Unit): Unit = {
       val stack = new java.util.ArrayDeque[Node]()
       var i = children.length - 1
       while (i >= 0) { stack.push(children(i)); i -= 1 }
