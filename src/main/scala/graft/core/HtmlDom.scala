@@ -112,10 +112,37 @@ object HtmlDom {
   private final case class TOpen(name: String, attrs: Map[String, String], selfClose: Boolean) extends Token
   private final case class TClose(name: String) extends Token
 
-  /** Tokenize; forgiving — anything unparseable is treated as text. */
+  /** Receiver for the streaming tokenizer: [[parse]] builds the tree
+    * directly off these callbacks, with no intermediate token list
+    * (parse runs per page in the wave hot path; the list and the
+    * per-tag Token objects were measurable allocation).
+    */
+  private trait TokenSink {
+    def text(s: String): Unit
+    def comment(s: String): Unit
+    def open(name: String, attrs: Map[String, String], selfClose: Boolean): Unit
+    def close(name: String): Unit
+  }
+
+  /** Tokenize; forgiving — anything unparseable is treated as text.
+    * (List-producing wrapper over the streaming core, kept for tests
+    * and non-hot callers.)
+    */
   def tokenize(html: String, xmlMode: Boolean = false): List[Token] = {
     val out = ListBuffer.empty[Token]
+    tokenizeTo(html, xmlMode, new TokenSink {
+      def text(s: String): Unit = { out += TText(s); () }
+      def comment(s: String): Unit = { out += TComment(s); () }
+      def open(name: String, attrs: Map[String, String], selfClose: Boolean): Unit =
+        { out += TOpen(name, attrs, selfClose); () }
+      def close(name: String): Unit = { out += TClose(name); () }
+    })
+    out.toList
+  }
+
+  private def tokenizeTo(html: String, xmlMode: Boolean, sink: TokenSink): Unit = {
     val n = html.length
+    val tag = new TagOut
     var i = 0
     var rawUntil: String = null // inside <script>/<style>: text until this close tag
     while (i < n) {
@@ -125,21 +152,21 @@ object HtmlDom {
         // re-lowercase the whole html per tag (O(tags·n) allocations)
         val close = indexOfIgnoreCase(html, "</" + rawUntil, i)
         val stop = if (close < 0) n else close
-        if (stop > i) out += TText(html.substring(i, stop))
+        if (stop > i) sink.text(html.substring(i, stop))
         i = stop
         rawUntil = null
       } else {
         val lt = html.indexOf('<', i)
-        if (lt < 0) { out += TText(html.substring(i)); i = n }
+        if (lt < 0) { sink.text(html.substring(i)); i = n }
         else {
-          if (lt > i) out += TText(html.substring(i, lt))
-          if (lt + 1 >= n) { out += TText(html.substring(lt)); i = n }
+          if (lt > i) sink.text(html.substring(i, lt))
+          if (lt + 1 >= n) { sink.text(html.substring(lt)); i = n }
           else html.charAt(lt + 1) match {
             case '!' =>
               if (html.startsWith("<!--", lt)) {
                 val end = html.indexOf("-->", lt + 4)
                 val stop = if (end < 0) n else end + 3
-                out += TComment(html.substring(math.min(lt + 4, stop),
+                sink.comment(html.substring(math.min(lt + 4, stop),
                   if (end < 0) n else end))
                 i = stop
               } else { // doctype / CDATA / decl: drop
@@ -151,32 +178,27 @@ object HtmlDom {
               i = if (end < 0) n else end + 1
             case '/' =>
               val end = html.indexOf('>', lt + 2)
-              if (end < 0) { out += TText(html.substring(lt)); i = n }
+              if (end < 0) { sink.text(html.substring(lt)); i = n }
               else {
                 val name = html.substring(lt + 2, end).trim.toLowerCase
                   .takeWhile(c => !c.isWhitespace)
-                if (name.nonEmpty && name.forall(isNameChar)) out += TClose(name)
+                if (name.nonEmpty && name.forall(isNameChar)) sink.close(name)
                 i = end + 1
               }
             case c if c.isLetter =>
-              parseTag(html, lt) match {
-                case Some((tok, next)) =>
-                  out += tok
-                  tok match {
-                    case TOpen(nm, _, false) if !xmlMode && RawText.contains(nm) =>
-                      rawUntil = nm
-                    case _ =>
-                  }
-                  i = next
-                case None =>
-                  out += TText(html.substring(lt, lt + 1)); i = lt + 1
+              if (parseTag(html, lt, tag)) {
+                sink.open(tag.name, tag.attrs, tag.selfClose)
+                if (!tag.selfClose && !xmlMode && RawText.contains(tag.name))
+                  rawUntil = tag.name
+                i = tag.next
+              } else {
+                sink.text(html.substring(lt, lt + 1)); i = lt + 1
               }
-            case _ => out += TText(html.substring(lt, lt + 1)); i = lt + 1
+            case _ => sink.text(html.substring(lt, lt + 1)); i = lt + 1
           }
         }
       }
     }
-    out.toList
   }
 
   private[graft] def indexOfIgnoreCase(haystack: String, needle: String, from: Int): Int = {
@@ -193,14 +215,46 @@ object HtmlDom {
   private def isNameChar(c: Char): Boolean =
     c.isLetterOrDigit || c == '-' || c == '_' || c == ':'
 
-  private def parseTag(html: String, lt: Int): Option[(TOpen, Int)] = {
+  /** Reusable out-params for [[parseTag]] (one per tokenize call —
+    * avoids a tuple/Option allocation per tag).
+    */
+  private final class TagOut {
+    var name: String = _
+    var attrs: Map[String, String] = _
+    var selfClose: Boolean = false
+    var next: Int = 0
+  }
+
+  /** `substring(start, end).toLowerCase`, skipping both copies when
+    * the region is pure lowercase-or-caseless ASCII (the common case
+    * for tag/attr names). Non-ASCII falls back to the exact original
+    * expression — String.toLowerCase semantics are pinned by goldens.
+    */
+  private def lowerSub(html: String, start: Int, end: Int): String = {
+    var i = start
+    var easy = true
+    while (easy && i < end) {
+      val c = html.charAt(i)
+      if (c >= 'A' && c <= 'Z') easy = false
+      else if (c >= 0x80) easy = false
+      i += 1
+    }
+    if (easy) html.substring(start, end)
+    else html.substring(start, end).toLowerCase
+  }
+
+  /** Parse one `<name attr=...>` tag anchored at `lt` into `out`;
+    * false if no tag name follows the `<`.
+    */
+  private def parseTag(html: String, lt: Int, out: TagOut): Boolean = {
     val n = html.length
     var i = lt + 1
     val nameStart = i
     while (i < n && isNameChar(html.charAt(i))) i += 1
-    if (i == nameStart) return None
-    val name = html.substring(nameStart, i).toLowerCase
-    val attrs = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    if (i == nameStart) return false
+    val name = lowerSub(html, nameStart, i)
+    // lazily created: attr-less tags (most of a page) allocate no map
+    var attrs: scala.collection.mutable.LinkedHashMap[String, String] = null
     var selfClose = false
     var done = false
     while (!done && i < n) {
@@ -215,7 +269,7 @@ object HtmlDom {
           val aStart = i
           while (i < n && !html.charAt(i).isWhitespace &&
                  html.charAt(i) != '=' && html.charAt(i) != '>' && html.charAt(i) != '/') i += 1
-          val aName = html.substring(aStart, i).toLowerCase
+          val aName = lowerSub(html, aStart, i)
           while (i < n && html.charAt(i).isWhitespace) i += 1
           var value = ""
           if (i < n && html.charAt(i) == '=') {
@@ -232,10 +286,17 @@ object HtmlDom {
               value = html.substring(vStart, i)
             }
           }
-          if (aName.nonEmpty && !attrs.contains(aName)) attrs(aName) = value
+          if (aName.nonEmpty) {
+            if (attrs == null) attrs = scala.collection.mutable.LinkedHashMap.empty
+            if (!attrs.contains(aName)) attrs(aName) = value
+          }
       }
     }
-    Some((TOpen(name, attrs.toMap, selfClose), i))
+    out.name = name
+    out.attrs = if (attrs == null) Map.empty else attrs.toMap
+    out.selfClose = selfClose
+    out.next = i
+    true
   }
 
   /** Build a DOM. The returned root is a synthetic `[document]` element.
@@ -245,16 +306,17 @@ object HtmlDom {
     */
   def parse(html: String, xmlMode: Boolean = false): Elem = {
     val root = new Elem("[document]", Map.empty)
-    var cur = root
-    tokenize(html, xmlMode).foreach {
-      case TText(s) => cur.append(new Text(s))
-      case TComment(s) => cur.append(new Comment(s))
-      case TClose(name) =>
+    tokenizeTo(html, xmlMode, new TokenSink {
+      private var cur = root
+      def text(s: String): Unit = cur.append(new Text(s))
+      def comment(s: String): Unit = cur.append(new Comment(s))
+      def close(name: String): Unit = {
         // pop to the nearest matching open element, if any
         var e = cur
         while (e != root && e.name != name) e = e.parent
         if (e != root) cur = if (e.parent != null) e.parent else root
-      case TOpen(name, attrs, selfClose) =>
+      }
+      def open(name: String, attrs: Map[String, String], selfClose: Boolean): Unit = {
         if (!xmlMode && (name == "p" || ClosesP.contains(name))) {
           var e = cur
           while (e != root && e.name != "p") e = e.parent
@@ -269,7 +331,8 @@ object HtmlDom {
         val elem = new Elem(name, attrs)
         cur.append(elem)
         if (!selfClose && (xmlMode || !VoidElements.contains(name))) cur = elem
-    }
+      }
+    })
     root
   }
 
