@@ -198,8 +198,19 @@ object BoilerplateExtractor {
     doc.findFirst(Set("body")).foreach { body =>
       body.findAll(Set("html")).foreach(_.extract())
     }
-    // drop whitespace-only text nodes (utils.py:331-335)
-    doc.textNodes.foreach(t => if (t.value.trim.isEmpty) t.extract())
+    // drop whitespace-only text nodes (utils.py:331-335).
+    // `trim.isEmpty` ⇔ every char <= 0x20 (String.trim strips exactly
+    // chars <= U+0020) — checked without allocating the trimmed copy;
+    // extracting during the walk is safe (children are stacked before
+    // their parent's buffer mutates, and text nodes are leaves).
+    doc.walkNodes {
+      case t: HtmlDom.Text =>
+        val s = t.value
+        var i = 0
+        while (i < s.length && s.charAt(i) <= ' ') i += 1
+        if (i == s.length) t.extract()
+      case _ =>
+    }
 
     purgeBlocks(doc)
     doc
@@ -221,32 +232,36 @@ object BoilerplateExtractor {
     * revisited" behavior.
     */
   private def purgeBlocks(doc: HtmlDom.Elem): Unit = {
-    // post-order collect of purgeable blocks, iterative
-    val order = ListBuffer.empty[HtmlDom.Elem]
-    val stack = new java.util.ArrayDeque[(HtmlDom.Elem, Boolean)]()
-    stack.push((doc, false))
+    // Post-order collect of purgeable blocks, iterative and
+    // allocation-light: classic two-stack postorder (visit order
+    // pushed to `rev` is reverse postorder — pop node, record, push
+    // children left-to-right), so `rev` reversed is children-before-
+    // parents leftmost-first, with no (node, visited) tuple per node.
+    val rev = new scala.collection.mutable.ArrayBuffer[HtmlDom.Elem]
+    val stack = new java.util.ArrayDeque[HtmlDom.Elem]()
+    stack.push(doc)
     while (!stack.isEmpty) {
-      val (e, childrenDone) = stack.pop()
-      if (childrenDone) {
-        if (NodesToPurge.contains(e.name)) order += e
-      } else {
-        stack.push((e, true))
-        var i = e.children.length - 1
-        while (i >= 0) {
-          e.children(i) match {
-            case c: HtmlDom.Elem => stack.push((c, false))
-            case _ =>
-          }
-          i -= 1
+      val e = stack.pop()
+      if (NodesToPurge.contains(e.name)) rev += e
+      var i = 0
+      val cs = e.children
+      while (i < cs.length) {
+        cs(i) match {
+          case c: HtmlDom.Elem => stack.push(c)
+          case _ =>
         }
+        i += 1
       }
     }
 
-    order.foreach { current =>
+    var k = rev.length - 1
+    while (k >= 0) {
+      val current = rev(k)
       // skip blocks already removed as part of an extracted subtree
       var p: HtmlDom.Elem = current
       while (p.parent != null) p = p.parent
       if (p eq doc) evaluateBlock(current)
+      k -= 1
     }
   }
 
@@ -516,7 +531,7 @@ object BoilerplateExtractor {
     * extraction — identical output to [[extractTitle]]).
     */
   def titleFromDoc(doc: HtmlDom.Elem, rawPage: String): Option[String] =
-    doc.findFirst(Set("title")).flatMap(_.textNodes.headOption) match {
+    doc.findFirst(Set("title")).flatMap(_.firstTextNode) match {
       case Some(t) => Some(Entities.decode(t.value))
       case None =>
         val m = TitleFallback.matcher(rawPage)

@@ -70,8 +70,42 @@ object HtmlDom {
       out.toList
     }
 
-    def findFirst(names: Set[String]): Option[Elem] =
-      findAll(names).headOption
+    /** First matching descendant, document order — early-exit walk
+      * (findAll visits the whole tree to take one element; this runs
+      * per page in the wave hot path for head/body/title lookups).
+      */
+    def findFirst(names: Set[String]): Option[Elem] = {
+      val stack = new java.util.ArrayDeque[Node]()
+      var i = children.length - 1
+      while (i >= 0) { stack.push(children(i)); i -= 1 }
+      while (!stack.isEmpty) {
+        stack.pop() match {
+          case e: Elem =>
+            if (names.contains(e.name)) return Some(e)
+            var j = e.children.length - 1
+            while (j >= 0) { stack.push(e.children(j)); j -= 1 }
+          case _ =>
+        }
+      }
+      None
+    }
+
+    /** First descendant text node, document order — early-exit. */
+    def firstTextNode: Option[Text] = {
+      val stack = new java.util.ArrayDeque[Node]()
+      var i = children.length - 1
+      while (i >= 0) { stack.push(children(i)); i -= 1 }
+      while (!stack.isEmpty) {
+        stack.pop() match {
+          case t: Text => return Some(t)
+          case e: Elem =>
+            var j = e.children.length - 1
+            while (j >= 0) { stack.push(e.children(j)); j -= 1 }
+          case _ =>
+        }
+      }
+      None
+    }
 
     /** All descendant text nodes, document order. */
     def textNodes: List[Text] = {

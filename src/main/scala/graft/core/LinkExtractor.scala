@@ -25,14 +25,36 @@ object LinkExtractor {
     extractLinks(doc, pageUrl)
   }
 
+  /** One walk collecting the first `<base href>` (the one that applies
+    * to every anchor, wherever it sits) and all anchors in document
+    * order — extractLinks/linkUrls previously walked the tree twice
+    * and built intermediate Lists per call.
+    */
+  private def baseAndAnchors(doc: HtmlDom.Elem)
+      : (Option[String], Seq[HtmlDom.Elem]) = {
+    var base: Option[String] = None
+    var baseSeen = false
+    val anchors = scala.collection.mutable.ArrayBuffer.empty[HtmlDom.Elem]
+    doc.walkNodes {
+      case e: HtmlDom.Elem =>
+        if (e.name == "a") { anchors += e; () }
+        else if (!baseSeen && e.name == "base") e.attr("href") match {
+          case Some(h) => baseSeen = true; base = Some(h).filter(_.nonEmpty)
+          case None =>
+        }
+      case _ =>
+    }
+    (base, anchors.toSeq)
+  }
+
   def extractLinks(doc: HtmlDom.Elem, pageUrl: String): Seq[Link] = {
-    val base: Option[String] = doc.findAll(Set("base"))
-      .flatMap(_.attr("href")).headOption.filter(_.nonEmpty)
-    doc.findAll(Set("a")).flatMap { a =>
+    val (base, anchors) = baseAndAnchors(doc)
+    val ctx = new UrlNormalizer.ResolveContext(Some(pageUrl), base)
+    anchors.flatMap { a =>
       a.attr("href") match {
         case Some(href) if href.nonEmpty =>
           try {
-            UrlNormalizer.canonicalize(href.trim, Some(pageUrl), base).map { url =>
+            UrlNormalizer.canonicalize(href.trim, ctx).map { url =>
               Link(url, titleOf(a))
             }
           } catch { case _: Exception => None }
@@ -47,12 +69,12 @@ object LinkExtractor {
     * that the frontier never consumes.
     */
   def linkUrls(doc: HtmlDom.Elem, pageUrl: String): Seq[String] = {
-    val base: Option[String] = doc.findAll(Set("base"))
-      .flatMap(_.attr("href")).headOption.filter(_.nonEmpty)
-    doc.findAll(Set("a")).flatMap { a =>
+    val (base, anchors) = baseAndAnchors(doc)
+    val ctx = new UrlNormalizer.ResolveContext(Some(pageUrl), base)
+    anchors.flatMap { a =>
       a.attr("href") match {
         case Some(href) if href.nonEmpty =>
-          try UrlNormalizer.canonicalize(href.trim, Some(pageUrl), base)
+          try UrlNormalizer.canonicalize(href.trim, ctx)
           catch { case _: Exception => None }
         case _ => None
       }

@@ -58,8 +58,41 @@ object UrlNormalizer {
   private val Collapse: Regex =
     """([^/]+/\.\./?|/\./|//|/\.$|/\.\.$)""".r
 
-  private val ServerAuthority: Regex =
+  /** Spec twin for [[splitAuthority]] — the authority split is a manual
+    * scan in the hot path (one match per canonicalized link and per
+    * `host_of` row); equivalence is property-tested.
+    */
+  private[graft] val ServerAuthority: Regex =
     """^(?:([^@]+)@)?([^:]+)(?::(.+))?$""".r
+
+  /** `([^:]+)(?::(.+))?$` over `s`: host = prefix before the first
+    * `:` (≥1 char), port = the rest (≥1 char) or null; null result on
+    * no-match (empty, leading `:`, or trailing lone `:`).
+    */
+  private def matchHostPort(s: String): Array[String] = {
+    if (s.isEmpty) return null
+    val colon = s.indexOf(':')
+    if (colon < 0) Array(s, null)
+    else if (colon == 0 || colon == s.length - 1) null
+    else Array(s.substring(0, colon), s.substring(colon + 1))
+  }
+
+  /** Manual twin of [[ServerAuthority]]: `(userinfo|null, host,
+    * port|null)` or null on no-match. userinfo is the prefix before
+    * the FIRST `@` (≥1 char — else the optional group is skipped and
+    * the host may itself contain `@`); the regex's backtrack where
+    * `user@` has no host after the `@` and falls through to
+    * host=`"user@"` is reproduced by retrying without the group.
+    */
+  private[graft] def splitAuthority(netloc: String): Array[String] = {
+    val at = netloc.indexOf('@')
+    if (at >= 1) {
+      val hp = matchHostPort(netloc.substring(at + 1))
+      if (hp != null) return Array(netloc.substring(0, at), hp(0), hp(1))
+    }
+    val hp = matchHostPort(netloc)
+    if (hp == null) null else Array(null, hp(0), hp(1))
+  }
 
   /** Split a URL into a six-tuple, mirroring RFC-1808-style parsing
     * (scheme only when the prefix is a valid scheme token and the rest
@@ -140,8 +173,15 @@ object UrlNormalizer {
 
   /** Collapse `./`, `../`, `//`, trailing `/.` and `/..` to a fixpoint,
     * one leftmost replacement at a time (reference: urlnorm.py:137-143).
+    *
+    * Fast path: every alternative of [[Collapse]] contains either
+    * `//` or `/.` as a substring, so a path containing neither cannot
+    * match — the common case (one Matcher + scan per link otherwise;
+    * this runs per outlink in the wave hot path). Equivalence is
+    * property-tested in UrlNormalizerPropertySpec.
     */
   def collapsePath(pathIn: String): String = {
+    if (pathIn.indexOf("//") < 0 && pathIn.indexOf("/.") < 0) return pathIn
     var path = pathIn
     var last = ""
     while (last != path) {
@@ -159,10 +199,26 @@ object UrlNormalizer {
                 base: Option[String] = None): Option[String] =
     norm(urlString, site, base).map(unparse)
 
-  def norm(urlString: String, site: Option[String], base: Option[String]): Option[UrlParts] = {
+  /** Pre-parsed resolution context: when one page contributes many
+    * links, the page URL and `<base href>` are parsed ONCE here
+    * instead of once per link inside [[norm]] (identical results by
+    * construction — [[parse]] is pure).
+    */
+  final class ResolveContext(site: Option[String], base: Option[String]) {
+    private[UrlNormalizer] val hasBase: Boolean = base.isDefined
+    private[UrlNormalizer] val hasSite: Boolean = site.isDefined
+    private[UrlNormalizer] val siteParts: Option[UrlParts] = site.map(parse)
+    private[UrlNormalizer] val baseParts: UrlParts =
+      base.map(parse).getOrElse(null)
+  }
+
+  def norm(urlString: String, site: Option[String], base: Option[String]): Option[UrlParts] =
+    norm(urlString, new ResolveContext(site, base))
+
+  def norm(urlString: String, ctx: ResolveContext): Option[UrlParts] = {
     val first = parse(urlString)
     if (first.scheme == "javascript") {
-      return site.map(s => parse(s))
+      return ctx.siteParts
     }
     // Relative resolution (reference semantics: literal path concat).
     // Deviation from the reference (urlnorm.py:111): it concatenates the
@@ -170,15 +226,15 @@ object UrlNormalizer {
     // base path AND re-appends query/fragment, duplicating them
     // (`foo?x=1` → `.../foo?x=1?x=1`). We concatenate only the path —
     // same intent, without the duplication bug.
-    var resolved = urlString
-    if (base.isDefined) {
+    var resolved: String = null
+    if (ctx.hasBase) {
       if (first.netloc.isEmpty) {
-        val b = parse(base.get)
+        val b = ctx.baseParts
         resolved = unparse(UrlParts(b.scheme, b.netloc, b.path + first.path,
           first.params, first.query, first.fragment))
       }
-    } else if (first.netloc.isEmpty && first.path.nonEmpty && site.isDefined) {
-      val s = parse(site.get)
+    } else if (first.netloc.isEmpty && first.path.nonEmpty && ctx.hasSite) {
+      val s = ctx.siteParts.get
       if (first.path.startsWith("/")) {
         resolved = unparse(UrlParts(s.scheme, s.netloc, first.path,
           first.params, first.query, first.fragment))
@@ -189,19 +245,21 @@ object UrlNormalizer {
       }
     }
 
-    val p = parse(resolved)
+    // unresolved links re-parse to `first` exactly (parse is pure)
+    val p = if (resolved == null) first else parse(resolved)
     var netloc = p.netloc
     if (netloc.nonEmpty) {
-      netloc match {
-        case ServerAuthority(userinfo, hostRaw, port) =>
-          var host = hostRaw
-          if (host.nonEmpty && host.endsWith(".")) host = host.substring(0, host.length - 1)
-          var auth = host.toLowerCase
-          if (userinfo != null) auth = userinfo + "@" + auth
-          if (port != null && !DefaultPort.get(p.scheme).contains(port))
-            auth = auth + ":" + port
-          netloc = auth
-        case _ => // unparseable authority: keep verbatim
+      val a = splitAuthority(netloc)
+      if (a != null) { // else unparseable authority: keep verbatim
+        val userinfo = a(0)
+        val port = a(2)
+        var host = a(1)
+        if (host.nonEmpty && host.endsWith(".")) host = host.substring(0, host.length - 1)
+        var auth = host.toLowerCase
+        if (userinfo != null) auth = userinfo + "@" + auth
+        if (port != null && !DefaultPort.get(p.scheme).contains(port))
+          auth = auth + ":" + port
+        netloc = auth
       }
     }
     var path = p.path
@@ -240,17 +298,23 @@ object UrlNormalizer {
     */
   def canonicalize(urlString: String, site: Option[String] = None,
                    base: Option[String] = None): Option[String] =
-    norm(urlString, site, base).map { p =>
+    canonicalize(urlString, new ResolveContext(site, base))
+
+  /** [[canonicalize]] against a pre-parsed [[ResolveContext]] — the
+    * per-page form the link extractor uses (parse the page URL once,
+    * resolve every anchor against it).
+    */
+  def canonicalize(urlString: String, ctx: ResolveContext): Option[String] =
+    norm(urlString, ctx).map { p =>
       unparse(p.copy(query = stripTrackingParams(p.query)))
     }
 
   /** Hostname (no userinfo, no port) of a URL; empty if none. */
   def hostOf(url: String): String = {
     val netloc = parse(url).netloc
-    netloc match {
-      case ServerAuthority(_, host, _) => host.toLowerCase.stripSuffix(".")
-      case _ => ""
-    }
+    if (netloc.isEmpty) return ""
+    val a = splitAuthority(netloc)
+    if (a == null) "" else a(1).toLowerCase.stripSuffix(".")
   }
 
   /** xxhash64 of the canonical URL string (seed 42 — identical to

@@ -336,4 +336,56 @@ class BoilerplateExtractorSpec extends AnyFunSuite {
       assert(BE.stripHtml(cleaned) === stripHtmlRegexTwin(cleaned))
     }
   }
+
+  test("fuzz: early-exit findFirst/firstTextNode equal the full-walk recipes") {
+    val tagTokens = Vector("<a href='/x'>", "<a>", "</a>", "<div>", "</div>",
+      "<head>", "</head>", "<title>", "</title>", "<body>", "<base href='/b/'>",
+      "<base>", "<p>", "</p>", "<span>", "</span>")
+    val rnd = new scala.util.Random(0xf1247f1257L)
+    (1 to 400).foreach { i =>
+      val sb = new StringBuilder
+      (0 until rnd.nextInt(30)).foreach { _ =>
+        if (rnd.nextInt(3) == 0) sb.append(tagTokens(rnd.nextInt(tagTokens.size)))
+        else sb.append(fuzzString(rnd))
+      }
+      val doc = HtmlDom.parse(sb.toString)
+      Seq(Set("head"), Set("body"), Set("title"), Set("a", "base")).foreach { names =>
+        assert(doc.findFirst(names) === doc.findAll(names).headOption,
+          s"findFirst diverged on case $i for $names")
+      }
+      assert(doc.firstTextNode === doc.textNodes.headOption,
+        s"firstTextNode diverged on case $i")
+    }
+  }
+
+  test("fuzz: single-walk link extraction equals the two-walk findAll recipe") {
+    val tagTokens = Vector("<a href='/x'>", "<a href='y.html'>", "<a>", "</a>",
+      "<base href='http://b.test/dir/'>", "<base href=''>", "<base>",
+      "<div>", "</div>", "<a href='../up'>", "<a href='#frag'>",
+      "<a href='javascript:void(0)'>", "<base href='/rel/'>")
+    val rnd = new scala.util.Random(0x11442266L)
+    (1 to 400).foreach { i =>
+      val sb = new StringBuilder("<html><body>")
+      (0 until rnd.nextInt(25)).foreach { _ =>
+        if (rnd.nextInt(2) == 0) sb.append(tagTokens(rnd.nextInt(tagTokens.size)))
+        else sb.append(fuzzString(rnd))
+      }
+      val doc = HtmlDom.parse(sb.toString)
+      val pageUrl = "http://site.test/a/page.html"
+      // the pre-single-walk recipe, verbatim
+      val baseTwin: Option[String] = doc.findAll(Set("base"))
+        .flatMap(_.attrs.get("href")).headOption.filter(_.nonEmpty)
+      val twin = doc.findAll(Set("a")).flatMap { a =>
+        a.attrs.get("href") match {
+          case Some(href) if href.nonEmpty =>
+            try graft.core.UrlNormalizer.canonicalize(href.trim, Some(pageUrl), baseTwin)
+            catch { case _: Exception => None }
+          case _ => None
+        }
+      }
+      val doc2 = HtmlDom.parse(sb.toString)
+      assert(graft.core.LinkExtractor.linkUrls(doc2, pageUrl) === twin,
+        s"linkUrls diverged on case $i: ${sb.toString.map(_.toInt).mkString("[", ",", "]")}")
+    }
+  }
 }

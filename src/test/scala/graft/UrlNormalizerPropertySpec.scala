@@ -87,6 +87,50 @@ class UrlNormalizerPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("manual authority split is byte-identical to the ServerAuthority regex") {
+    val netlocGen: Gen[String] = {
+      val atoms = Gen.oneOf("host", "Example.COM.", "a", "@", ":", "8080",
+        "user", "pass:word", "", "xn--p1ai", "127.0.0.1", "[::1]")
+      Gen.listOf(atoms).map(_.take(6).mkString)
+    }
+    val edges = Seq("", "host", "host:8080", "host:", ":8080", "@host",
+      "user@", "user@host", "user@host:81", "a@b@c:9", "u:p@h:1:2",
+      "host.", "HOST.:80", "@", "::", "u@:1", "u@h:")
+    def regexTwin(n: String): Option[(String, String, String)] = n match {
+      case UrlNormalizer.ServerAuthority(u, h, p) => Some((u, h, p))
+      case _ => None
+    }
+    def manual(n: String): Option[(String, String, String)] = {
+      val a = UrlNormalizer.splitAuthority(n)
+      if (a == null) None else Some((a(0), a(1), a(2)))
+    }
+    (edges ++ Seq.empty).foreach(n => assert(manual(n) === regexTwin(n), s"netloc <$n>"))
+    forAll(netlocGen, 800)(n => assert(manual(n) === regexTwin(n), s"netloc <$n>"))
+  }
+
+  test("collapsePath fast path never skips a collapsible pattern") {
+    // the fast path claims: no "//" and no "/." => the Collapse regex
+    // cannot match; verify against the raw pattern on generated paths
+    val collapse = """([^/]+/\.\./?|/\./|//|/\.$|/\.\.$)""".r
+    val segGen = Gen.oneOf("a", "b", ".", "..", "...", "x.y", "", "a.", ".a")
+    val pGen = for {
+      segs <- Gen.listOf(segGen).map(_.take(6))
+      lead <- Gen.oneOf("", "/")
+      tail <- Gen.oneOf("", "/")
+    } yield segs.mkString(lead, "/", tail)
+    forAll(pGen, 800) { p =>
+      if (p.indexOf("//") < 0 && p.indexOf("/.") < 0)
+        assert(collapse.findFirstIn(p).isEmpty, s"fast path wrong for <$p>")
+      // and the collapsed result is always the regex fixpoint
+      val viaRegex = {
+        var path = p; var last = ""
+        while (last != path) { last = path; path = collapse.replaceFirstIn(path, "/") }
+        path
+      }
+      assert(UrlNormalizer.collapsePath(p) === viaRegex, s"collapse <$p>")
+    }
+  }
+
   test("dot-segment collapse is idempotent; no interior dot-segments survive") {
     forAll(pathGen) { p =>
       val once = UrlNormalizer.collapsePath(p)
