@@ -140,9 +140,18 @@ object BoilerplateExtractor {
                                      from: Int): Int = {
     val n = h.length
     val m = needleLower.length
+    if (m == 0) return math.max(from, 0)
+    // every caller's needle starts with caseless '<': jump between
+    // candidates with intrinsic indexOf instead of probing each index
+    val c0 = needleLower.charAt(0)
+    val jump = c0 < 'a' || c0 > 'z'
     var i = math.max(from, 0)
     while (i <= n - m) {
-      var j = 0
+      if (jump) {
+        i = h.indexOf(c0, i)
+        if (i < 0 || i > n - m) return -1
+      }
+      var j = if (jump) 1 else 0
       var ok = true
       while (ok && j < m) {
         val c = h.charAt(i + j)
@@ -186,83 +195,92 @@ object BoilerplateExtractor {
   def prunedDom(rawPage: String): HtmlDom.Elem =
     pruneParsed(HtmlDom.parse(cleanedPage(rawPage)))
 
+  /** Marks where the first `<body>`'s subtree ends on the fused-walk
+    * stack (popped after all of body's descendants).
+    */
+  private object BodyEnd
+
   /** All DOM-level pruning applied to an already-parsed CLEANED page
     * (mutates and returns `doc`).
+    *
+    * The reference runs four sequential tree passes — junk-tag removal
+    * (utils.py:324-325), embedded-html removal under the first `<body>`
+    * (utils.py:327-329), whitespace-only text-node removal
+    * (utils.py:331-335) — then collects the purgeable blocks. Here all
+    * of that is ONE pre-order walk (this runs per page in the wave hot
+    * path; the sequential passes were 4 full walks plus intermediate
+    * Lists). End state is identical to the sequential passes because
+    * every removal takes a whole subtree, ancestors are visited before
+    * descendants, and each pass's membership test (tag name / text
+    * whitespace) is independent of the other passes' edits — so
+    * "extract on first visit and skip the subtree" removes exactly the
+    * union the sequential passes removed. The lone cross-pass
+    * dependency — which `<body>` is first — is preserved: the walk's
+    * first NON-REMOVED body is the body `findFirst` saw after the junk
+    * pass. `<head>` removal stays a separate early-exit pass so a
+    * doc-order-first head nested in a junk tag is still the one
+    * consumed (pinned in BoilerplateExtractorSpec).
     */
   def pruneParsed(doc: HtmlDom.Elem): HtmlDom.Elem = {
     // throw away <head> (utils.py:313-314)
     doc.findFirst(Set("head")).foreach(_.extract())
-    // throw away junk tags (utils.py:324-325)
-    doc.findAll(NodesToThrowAway).foreach(_.extract())
-    // remove htmls embedded inside body (utils.py:327-329)
-    doc.findFirst(Set("body")).foreach { body =>
-      body.findAll(Set("html")).foreach(_.extract())
-    }
-    // drop whitespace-only text nodes (utils.py:331-335).
-    // `trim.isEmpty` ⇔ every char <= 0x20 (String.trim strips exactly
-    // chars <= U+0020) — checked without allocating the trimmed copy;
-    // extracting during the walk is safe (children are stacked before
-    // their parent's buffer mutates, and text nodes are leaves).
-    doc.walkNodes {
-      case t: HtmlDom.Text =>
-        val s = t.value
-        var i = 0
-        while (i < s.length && s.charAt(i) <= ' ') i += 1
-        if (i == s.length) t.extract()
-      case _ =>
-    }
 
-    purgeBlocks(doc)
-    doc
-  }
-
-  /** The innermost-first link-density purge (utils.py:337-451).
-    *
-    * The reference repeatedly takes the first flagged block and
-    * descends to its innermost flagged descendant — that visit order
-    * is exactly post-order over the flagged blocks (children strictly
-    * before parents, leftmost subtree first), so we collect post-order
-    * once and make a single pass. Identical decisions, O(n·depth)
-    * instead of the reference's restart-from-root O(n³) (which an
-    * adversarial deeply-nested page turns into a hang).
-    *
-    * A block extracted here takes its flagged descendants with it —
-    * but post-order guarantees those were already visited, so the
-    * pass stays faithful to the reference's "removed nodes are never
-    * revisited" behavior.
-    */
-  private def purgeBlocks(doc: HtmlDom.Elem): Unit = {
-    // Post-order collect of purgeable blocks, iterative and
-    // allocation-light: classic two-stack postorder (visit order
-    // pushed to `rev` is reverse postorder — pop node, record, push
-    // children left-to-right), so `rev` reversed is children-before-
-    // parents leftmost-first, with no (node, visited) tuple per node.
-    val rev = new scala.collection.mutable.ArrayBuffer[HtmlDom.Elem]
-    val stack = new java.util.ArrayDeque[HtmlDom.Elem]()
-    stack.push(doc)
+    // purgeable blocks in pre-order; evaluated in reverse below
+    val blocks = new scala.collection.mutable.ArrayBuffer[HtmlDom.Elem]
+    val stack = new java.util.ArrayDeque[AnyRef]()
+    var inBody = false
+    var bodySeen = false
+    var i = doc.children.length - 1
+    while (i >= 0) { stack.push(doc.children(i)); i -= 1 }
     while (!stack.isEmpty) {
-      val e = stack.pop()
-      if (NodesToPurge.contains(e.name)) rev += e
-      var i = 0
-      val cs = e.children
-      while (i < cs.length) {
-        cs(i) match {
-          case c: HtmlDom.Elem => stack.push(c)
-          case _ =>
-        }
-        i += 1
+      stack.pop() match {
+        case BodyEnd => inBody = false
+        case t: HtmlDom.Text =>
+          // whitespace-only text nodes: `trim.isEmpty` ⇔ every char
+          // <= 0x20 (String.trim strips exactly chars <= U+0020) —
+          // checked without allocating the trimmed copy; text nodes
+          // are leaves so extraction is safe mid-walk.
+          val s = t.value
+          var j = 0
+          while (j < s.length && s.charAt(j) <= ' ') j += 1
+          if (j == s.length) t.extract()
+        case e: HtmlDom.Elem =>
+          val name = e.name
+          if (NodesToThrowAway.contains(name) || (inBody && name == "html")) {
+            e.extract() // whole subtree gone; nothing beneath is visited
+          } else {
+            if (NodesToPurge.contains(name)) blocks += e
+            if (!bodySeen && name == "body") {
+              bodySeen = true; inBody = true
+              stack.push(BodyEnd)
+            }
+            var j = e.children.length - 1
+            while (j >= 0) { stack.push(e.children(j)); j -= 1 }
+          }
+        case _ => // comments: kept here, dropped at serialization
       }
     }
 
-    var k = rev.length - 1
+    // The innermost-first link-density purge (utils.py:337-451).
+    //
+    // The reference repeatedly takes the first flagged block and
+    // descends to its innermost flagged descendant — children strictly
+    // before parents. Reverse pre-order visits every block after all
+    // its descendants too, and keep/delete decisions of disjoint
+    // subtrees are independent (blockStats reads only the block's own
+    // subtree), so the end tree is identical — O(n·depth) instead of
+    // the reference's restart-from-root O(n³) (which an adversarial
+    // deeply-nested page turns into a hang).
+    var k = blocks.length - 1
     while (k >= 0) {
-      val current = rev(k)
+      val current = blocks(k)
       // skip blocks already removed as part of an extracted subtree
       var p: HtmlDom.Elem = current
       while (p.parent != null) p = p.parent
       if (p eq doc) evaluateBlock(current)
       k -= 1
     }
+    doc
   }
 
   /** Streaming length + word counter over a concatenation of strings,

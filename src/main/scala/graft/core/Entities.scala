@@ -38,33 +38,37 @@ object Entities {
     * left verbatim. Single pass, left to right.
     */
   def decode(s: String): String = {
-    val amp = s.indexOf('&')
+    var amp = s.indexOf('&')
     if (amp < 0) return s
-    val sb = new StringBuilder(s.length)
-    sb.append(s.substring(0, amp))
-    var i = amp
     val n = s.length
-    while (i < n) {
-      val c = s.charAt(i)
-      if (c == '&') {
-        val semi = s.indexOf(';', i + 1)
-        if (semi > i && semi - i <= 12) {
-          val body = s.substring(i + 1, semi)
-          val decoded: Option[String] =
-            if (body.startsWith("#x") || body.startsWith("#X")) {
-              try Some(new String(Character.toChars(Integer.parseInt(body.substring(2), 16))))
-              catch { case _: Exception => None }
-            } else if (body.startsWith("#")) {
-              try Some(new String(Character.toChars(Integer.parseInt(body.substring(1)))))
-              catch { case _: Exception => None }
-            } else Named.get(body)
-          decoded match {
-            case Some(d) => sb.append(d); i = semi + 1
-            case None => sb.append(c); i += 1
-          }
-        } else { sb.append(c); i += 1 }
-      } else { sb.append(c); i += 1 }
+    val sb = new java.lang.StringBuilder(n)
+    // bulk-append the runs between '&'s (this runs once per text node
+    // in the render hot path; the old per-char loop was measurable)
+    var i = 0
+    while (amp >= 0) {
+      sb.append(s, i, amp)
+      i = amp
+      val semi = s.indexOf(';', amp + 1)
+      var consumed = false
+      if (semi > amp && semi - amp <= 12) {
+        val body = s.substring(amp + 1, semi)
+        val decoded: Option[String] =
+          if (body.startsWith("#x") || body.startsWith("#X")) {
+            try Some(new String(Character.toChars(Integer.parseInt(body.substring(2), 16))))
+            catch { case _: Exception => None }
+          } else if (body.startsWith("#")) {
+            try Some(new String(Character.toChars(Integer.parseInt(body.substring(1)))))
+            catch { case _: Exception => None }
+          } else Named.get(body)
+        decoded match {
+          case Some(d) => sb.append(d); i = semi + 1; consumed = true
+          case None =>
+        }
+      }
+      if (!consumed) { sb.append('&'); i = amp + 1 }
+      amp = s.indexOf('&', i)
     }
+    sb.append(s, i, n)
     sb.toString
   }
 }

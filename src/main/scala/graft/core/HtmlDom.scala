@@ -238,8 +238,18 @@ object HtmlDom {
   private[graft] def indexOfIgnoreCase(haystack: String, needle: String, from: Int): Int = {
     val n = haystack.length
     val m = needle.length
+    if (m == 0) return math.max(from, 0)
+    val c0 = needle.charAt(0)
+    // caseless first char (every caller's needle starts with '<'):
+    // jump between candidate positions instead of probing every index
+    val jump = !Character.isLetter(c0) && Character.toUpperCase(c0) == c0 &&
+      Character.toLowerCase(c0) == c0
     var i = math.max(from, 0)
     while (i <= n - m) {
+      if (jump) {
+        i = haystack.indexOf(c0, i)
+        if (i < 0 || i > n - m) return -1
+      }
       if (haystack.regionMatches(true, i, needle, 0, m)) return i
       i += 1
     }
@@ -287,8 +297,11 @@ object HtmlDom {
     while (i < n && isNameChar(html.charAt(i))) i += 1
     if (i == nameStart) return false
     val name = lowerSub(html, nameStart, i)
-    // lazily created: attr-less tags (most of a page) allocate no map
-    var attrs: scala.collection.mutable.LinkedHashMap[String, String] = null
+    // Built directly as an immutable Map (Map1..Map4 for the common
+    // ≤4-attr tag — insertion-ordered, allocation-light; ≥5 switches
+    // to HashMap exactly as LinkedHashMap.toMap did, same iteration
+    // order both ways). Attr-less tags (most of a page) allocate none.
+    var attrs: Map[String, String] = null
     var selfClose = false
     var done = false
     while (!done && i < n) {
@@ -321,13 +334,13 @@ object HtmlDom {
             }
           }
           if (aName.nonEmpty) {
-            if (attrs == null) attrs = scala.collection.mutable.LinkedHashMap.empty
-            if (!attrs.contains(aName)) attrs(aName) = value
+            if (attrs == null) attrs = Map(aName -> value)
+            else if (!attrs.contains(aName)) attrs = attrs.updated(aName, value)
           }
       }
     }
     out.name = name
-    out.attrs = if (attrs == null) Map.empty else attrs.toMap
+    out.attrs = if (attrs == null) Map.empty else attrs
     out.selfClose = selfClose
     out.next = i
     true
@@ -394,18 +407,18 @@ object HtmlDom {
     render(node, new SbSink(sb), decodeEntities)
 
   def render(node: Node, sink: CharSink, decodeEntities: Boolean): Unit = {
-    sealed trait Work
-    final case class Visit(n: Node) extends Work
-    final case class CloseTag(name: String) extends Work
-    val stack = new java.util.ArrayDeque[Work]()
-    stack.push(Visit(node))
+    // Work stack holds Nodes to visit and (bare String) close-tag names
+    // to emit — no per-node wrapper objects (render runs per page in
+    // the wave hot path and per anchor in the purge-block stats scan).
+    val stack = new java.util.ArrayDeque[AnyRef]()
+    stack.push(node)
     while (!stack.isEmpty) {
       stack.pop() match {
-        case CloseTag(name) => sink.put("</"); sink.put(name); sink.put('>')
-        case Visit(t: Text) =>
+        case name: String => sink.put("</"); sink.put(name); sink.put('>')
+        case t: Text =>
           sink.put(if (decodeEntities) Entities.decode(t.value) else t.value)
-        case Visit(_: Comment) => // comments never serialize
-        case Visit(e: Elem) =>
+        case _: Comment => // comments never serialize
+        case e: Elem =>
           val isDoc = e.name == "[document]"
           if (!isDoc) {
             sink.put('<'); sink.put(e.name)
@@ -414,9 +427,9 @@ object HtmlDom {
             }
             sink.put('>')
           }
-          if (!isDoc && !VoidElements.contains(e.name)) stack.push(CloseTag(e.name))
+          if (!isDoc && !VoidElements.contains(e.name)) stack.push(e.name)
           var i = e.children.length - 1
-          while (i >= 0) { stack.push(Visit(e.children(i))); i -= 1 }
+          while (i >= 0) { stack.push(e.children(i)); i -= 1 }
       }
     }
   }
