@@ -79,6 +79,8 @@ object SparkEntry {
     "q_repetition_profile" -> (qRepetitionProfile(_, _)),
     "q_pii_scrub" -> (qPiiScrub(_, _)),
     "q_length_deciles" -> (qLengthDeciles(_, _)),
+    "q_gopher_rules" -> (qGopherRules(_, _)),
+    "q_hash_classifier" -> (qHashClassifier(_, _)),
     "q_sessionize" -> (qSessionize(_, _)),
     "q_contamination" -> (qContamination(_, _)),
     "q_fingerprint" -> (qFingerprint(_, _)),
@@ -90,11 +92,13 @@ object SparkEntry {
     "q_simhash_pairs" -> (qSimhashPairs(_, _)),
     "q_ngram_jaccard" -> (qNgramJaccard(_, _)),
     "q_paragraph_dedup" -> (qParagraphDedup(_, _)),
+    "q_line_dedup" -> (qLineDedup(_, _)),
     // similarity search
     "q_cosine_topk" -> (qCosineTopK(_, _)),
     "q_ann_lsh" -> (qAnnLsh(_, _)),
     "q_ann_ivf" -> (qAnnIvf(_, _)),
     "q_cosine_dup_pairs" -> (qCosineDupPairs(_, _)),
+    "q_semdedup" -> (qSemDedup(_, _)),
     // multimodal plumbing
     "q_media_features" -> (qMediaFeatures(_, _)))
 
@@ -161,11 +165,17 @@ object SparkEntry {
     * bitwise; the rerank cosine reuses the sequential-fold pattern the
     * LSH oracles proved.
     */
-  private def ivfOracle(k: Int, dim: Int, iters: Int, nprobe: Int,
-                        topk: Int): String = {
-    def dist(qv: String, cv: String) =
-      s"CAST(list_sum(list_transform(range(1, $dim + 1), " +
-        s"j -> ($qv[j] - $cv[j]) * ($qv[j] - $cv[j]))) AS BIGINT)"
+  private def ivfDist(dim: Int)(qv: String, cv: String): String =
+    s"CAST(list_sum(list_transform(range(1, $dim + 1), " +
+      s"j -> ($qv[j] - $cv[j]) * ($qv[j] - $cv[j]))) AS BIGINT)"
+
+  /** Shared CTE prefix for the portable-IVF oracles (q_ann_ivf,
+    * q_semdedup): quantize → seed → `iters` unrolled Lloyd rounds →
+    * final assignment, ending in an `af(id, vec, cid)` relation.
+    * Identical constants to IvfIndex.trainPortable/assignPortable.
+    */
+  private def ivfAssignCte(k: Int, dim: Int, iters: Int): String = {
+    val dist = ivfDist(dim) _
     def lloyd(prev: String, out: String) =
       s"""a_$out AS (
          | SELECT id, qv, cid FROM (
@@ -196,7 +206,15 @@ object SparkEntry {
        | SELECT id, vec, cid FROM (
        |  SELECT v.id, v.vec, c.cid, row_number() OVER (PARTITION BY v.id
        |    ORDER BY ${dist("v.qv", "c.cvec")} ASC, c.cid ASC) AS rn
-       |  FROM v CROSS JOIN $cf c) WHERE rn = 1),
+       |  FROM v CROSS JOIN $cf c) WHERE rn = 1)""".stripMargin
+  }
+
+  private def ivfOracle(k: Int, dim: Int, iters: Int, nprobe: Int,
+                        topk: Int): String = {
+    val dist = ivfDist(dim) _
+    val cf = s"c$iters"
+    ivfAssignCte(k, dim, iters) +
+    s""",
        |probes AS (
        | SELECT id AS query_id, vec AS qvec, cid AS cluster FROM (
        |  SELECT v.id, v.vec, c.cid, row_number() OVER (PARTITION BY v.id
@@ -215,6 +233,27 @@ object SparkEntry {
        |   ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM scored)
        |WHERE rank <= $topk""".stripMargin
   }
+
+  /** SemDedup oracle: the shared IVF assignment CTE, then within-
+    * cluster lower-id domination at cosine ≥ tau (identical constants
+    * to Similarity.semDedup; the cosine is the sequential-fold float
+    * both engines compute bit-identically).
+    */
+  private def semDedupOracle(k: Int, dim: Int, iters: Int,
+                             tau: Double): String =
+    ivfAssignCte(k, dim, iters) +
+    s""",
+       |dropped AS (
+       | SELECT DISTINCT b.id AS id_b
+       | FROM af a JOIN af b ON a.cid = b.cid AND a.id < b.id
+       | WHERE (CASE WHEN list_dot_product(a.vec, a.vec) = 0
+       |    OR list_dot_product(b.vec, b.vec) = 0 THEN 0.0
+       |   ELSE list_dot_product(a.vec, b.vec) /
+       |    (sqrt(list_dot_product(a.vec, a.vec)) *
+       |     sqrt(list_dot_product(b.vec, b.vec))) END) >= $tau)
+       |SELECT af.id AS vec_id, CAST(af.cid AS int) AS cluster,
+       | (d.id_b IS NULL) AS kept
+       |FROM af LEFT JOIN dropped d ON af.id = d.id_b""".stripMargin
 
   /** DuckDB oracles (ANSI SQL over the same parquet tables). Keys
     * absent here get the driver's weaker rows-only check — that set is
@@ -453,6 +492,70 @@ object SparkEntry {
         |   AS decile
         | FROM documents)
         |GROUP BY 1, 2""".stripMargin,
+    "q_gopher_rules" ->
+      """WITH synth AS (
+        | SELECT doc_id, text ||
+        |  CASE WHEN doc_id % 3 = 0 THEN chr(10) || '- bullet item ' ||
+        |   CAST(doc_id % 5 AS varchar) || chr(10) || '* second bullet'
+        |   ELSE '' END ||
+        |  CASE WHEN doc_id % 4 = 0 THEN chr(10) || 'to be continued...'
+        |   ELSE '' END ||
+        |  CASE WHEN doc_id % 5 = 0 THEN chr(10) || '## heading # with # symbols #'
+        |   ELSE '' END AS s
+        | FROM documents),
+        |tok AS (
+        | SELECT doc_id, s,
+        |  list_filter(regexp_split_to_array(trim(s), '\s+'),
+        |   x -> length(x) > 0) AS tk,
+        |  string_split(s, chr(10)) AS lines
+        | FROM synth),
+        |sig AS (
+        | SELECT doc_id, len(tk) AS n_words,
+        |  CASE WHEN len(tk) = 0 THEN 0.0 ELSE
+        |   round(CAST(coalesce(list_sum(list_transform(tk, t -> length(t))), 0)
+        |    AS double) / len(tk), 4) END AS mean_word_len,
+        |  CASE WHEN len(tk) = 0 THEN 0.0 ELSE
+        |   round((len(regexp_extract_all(s, '#')) +
+        |    len(regexp_extract_all(s, '\.\.\.')) +
+        |    len(regexp_extract_all(s, '…'))) * 1.0 / len(tk), 4)
+        |   END AS symbol_ratio,
+        |  round(len(list_filter(lines, l -> regexp_matches(l, '^\s*[-*•]')))
+        |   * 1.0 / len(lines), 4) AS bullet_frac,
+        |  round(len(list_filter(lines,
+        |    l -> regexp_matches(l, '(\.\.\.|…)\s*$')))
+        |   * 1.0 / len(lines), 4) AS ellipsis_frac,
+        |  CASE WHEN len(tk) = 0 THEN 0.0 ELSE
+        |   round(len(list_filter(tk, t -> regexp_matches(t, '[a-zA-Z]')))
+        |    * 1.0 / len(tk), 4) END AS alpha_word_frac,
+        |  len(list_filter(tk, t -> lower(t) IN
+        |   ('the','be','to','of','and','that','have','with'))) AS n_stop_hits
+        | FROM tok)
+        |SELECT doc_id, CAST(n_words AS int) AS n_words, mean_word_len,
+        | symbol_ratio, bullet_frac, ellipsis_frac, alpha_word_frac,
+        | CAST(n_stop_hits AS int) AS n_stop_hits,
+        | (n_words BETWEEN 50 AND 100000
+        |  AND mean_word_len BETWEEN 3.0 AND 10.0
+        |  AND symbol_ratio < 0.1 AND bullet_frac < 0.9
+        |  AND ellipsis_frac < 0.3 AND alpha_word_frac > 0.8
+        |  AND n_stop_hits >= 2) AS gopher_pass
+        |FROM sig""".stripMargin,
+    "q_hash_classifier" ->
+      """WITH tok AS (
+        | SELECT doc_id, list_filter(
+        |   regexp_split_to_array(lower(text), '[^a-z0-9_'']+'),
+        |   x -> length(x) > 0) AS tk
+        | FROM documents),
+        |sc AS (
+        | SELECT doc_id,
+        |  coalesce(list_sum(list_transform(tk,
+        |    t -> ('0x' || substr(md5(t), 1, 8))::BIGINT % 1001 - 500)), 0)
+        |  + CASE WHEN len(tk) < 2 THEN 0 ELSE
+        |     coalesce(list_sum(list_transform(range(1, len(tk)),
+        |      i -> ('0x' || substr(md5(tk[i] || ' ' || tk[i+1]), 1, 8))::BIGINT
+        |       % 1001 - 500)), 0) END AS score
+        | FROM tok)
+        |SELECT doc_id, CAST(score AS bigint) AS score, score > 0 AS label
+        |FROM sc""".stripMargin,
     "q_token_stats" ->
       """SELECT lang, CAST(sum(n) AS bigint) AS total_tokens,
         | round(avg(n), 4) AS avg_tokens
@@ -518,6 +621,34 @@ object SparkEntry {
         | md5(coalesce(string_agg(para, chr(10) ORDER BY pos)
         |   FILTER (WHERE keep), '')) AS kept_hash
         |FROM keepf GROUP BY doc_id""".stripMargin,
+    "q_line_dedup" ->
+      """WITH synth AS (
+        | SELECT doc_id, text || chr(10) ||
+        |  'this site uses cookies to improve your experience accept to continue'
+        |  || chr(10) || 'rare cohort line ' || CAST(doc_id % 200 AS varchar) ||
+        |  ' appears in only a couple of documents at small scale factors'
+        |  AS text
+        | FROM documents),
+        |flat AS (
+        | SELECT doc_id, pp.pos AS pos, pp.line AS line,
+        |  length(trim(pp.line)) >= 20 AS elig
+        | FROM (SELECT doc_id, unnest(list_transform(range(1, len(ls) + 1),
+        |    i -> {'pos': i - 1, 'line': ls[i]})) AS pp
+        |   FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM synth))),
+        |over_lines AS (
+        | SELECT line FROM (
+        |  SELECT line, count(DISTINCT doc_id) AS docf
+        |  FROM flat WHERE elig GROUP BY 1)
+        | WHERE docf >= 5),
+        |verdict AS (
+        | SELECT f.doc_id, f.pos, f.line,
+        |  ((NOT f.elig) OR o.line IS NULL) AS keep
+        | FROM flat f LEFT JOIN over_lines o ON f.line = o.line)
+        |SELECT doc_id, CAST(count(*) AS bigint) AS n_lines,
+        | CAST(sum(CASE WHEN NOT keep THEN 1 ELSE 0 END) AS bigint) AS n_dropped,
+        | md5(coalesce(string_agg(line, chr(10) ORDER BY pos)
+        |   FILTER (WHERE keep), '')) AS kept_hash
+        |FROM verdict GROUP BY doc_id""".stripMargin,
     "q_crawl_frequency_gate" ->
       """SELECT o_orderkey,
         | CAST(datediff('day', o_orderdate, DATE '1995-06-17') AS int) AS age_days,
@@ -704,6 +835,7 @@ object SparkEntry {
         |SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS int) AS hamming
         |FROM pairs WHERE bit_count(xor(sa, sb)) <= 3""".stripMargin,
     "q_ann_ivf" -> ivfOracle(k = 16, dim = 64, iters = 2, nprobe = 4, topk = 3),
+    "q_semdedup" -> semDedupOracle(k = 16, dim = 64, iters = 2, tau = 0.35),
     "q_media_features" ->
       """WITH m AS (SELECT unnest(range(0, 500)) AS media_id),
         |b AS (

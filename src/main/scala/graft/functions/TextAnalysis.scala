@@ -270,6 +270,99 @@ object TextAnalysis {
             col("n_lines"), 4)).as("dup_line_frac"))
   }
 
+  /** The Gopher paper's stopword set for the "≥ 2 stopwords" rule
+    * (Rae et al. 2021, Table A1) — distinct from the language-ID
+    * vocabularies above, public. */
+  val GopherStop = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher-style document quality rules (Rae et al. 2021, Table A1,
+    * public): the per-document signal bundle a curation pipeline
+    * computes on every page — word count, mean word length,
+    * symbol-to-word ratio (# and ellipses), bullet-line and
+    * ellipsis-line fractions, alphabetic-word fraction, stopword
+    * hits — plus the conjunction `gopher_pass` with the paper's
+    * bounds. Pure Catalyst: one codegen'd projection per row, no
+    * UDF, no shuffle, no driver state — the shape a 100 TB filter
+    * pass needs (reads one column, emits scalars, whole-stage fused
+    * with the scan). Fractions are exact integer/integer doubles and
+    * every regex is RE2-compatible, so the DuckDB oracle evaluates
+    * identically.
+    *
+    * Lambdas only reference their own variable (never the upstream
+    * split — see [[winnowFingerprintsTokens]] on why that would be
+    * O(n²) after projection collapse); the token array is re-derived
+    * per signal, a constant-factor cost that keeps the operator a
+    * pure map.
+    *
+    * Returns the named signal columns; callers select what they need.
+    */
+  def gopherRules(text: Column): Seq[Column] = {
+    val tk = filter(split(trim(text), "\\s+"), t => length(t) > 0)
+    val nWords = size(tk)
+    val nWordsD = nWords.cast("double")
+    val meanLen = when(nWords === 0, lit(0.0)).otherwise(
+      round(aggregate(tk, lit(0L), (acc, t) => acc + length(t))
+        .cast("double") / nWordsD, 4))
+    val nSymbols = regexp_count(text, lit("#")) +
+      regexp_count(text, lit("\\.\\.\\.")) + regexp_count(text, lit("…"))
+    val symbolRatio = when(nWords === 0, lit(0.0))
+      .otherwise(round(nSymbols.cast("double") / nWordsD, 4))
+    val lines = split(text, "\n")
+    val nLines = size(lines).cast("double")
+    val bulletFrac = round(size(filter(lines,
+      l => l.rlike("^\\s*[-*•]"))).cast("double") / nLines, 4)
+    val ellipsisFrac = round(size(filter(lines,
+      l => l.rlike("(\\.\\.\\.|…)\\s*$"))).cast("double") / nLines, 4)
+    val alphaFrac = when(nWords === 0, lit(0.0)).otherwise(
+      round(size(filter(tk, t => t.rlike("[a-zA-Z]"))).cast("double") /
+        nWordsD, 4))
+    val stopHits = size(filter(tk,
+      t => lower(t).isin(GopherStop.map(lit): _*)))
+    val pass = nWords.between(50, 100000) && meanLen.between(3.0, 10.0) &&
+      symbolRatio < 0.1 && bulletFrac < 0.9 && ellipsisFrac < 0.3 &&
+      alphaFrac > 0.8 && stopHits >= 2
+    Seq(nWords.cast("int").as("n_words"), meanLen.as("mean_word_len"),
+      symbolRatio.as("symbol_ratio"), bulletFrac.as("bullet_frac"),
+      ellipsisFrac.as("ellipsis_frac"), alphaFrac.as("alpha_word_frac"),
+      stopHits.cast("int").as("n_stop_hits"), pass.as("gopher_pass"))
+  }
+
+  /** Hashing-trick linear text classifier score (the fastText /
+    * Vowpal-Wabbit shape, public): unigram and bigram features hash
+    * into a fixed-size weight table; the document score is the exact
+    * integer sum of bucket weights, the label its sign. The weight
+    * table here is an md5-derived deterministic surrogate for trained
+    * parameters (nothing trains in this sandbox) — swapping in a
+    * learned table changes one function, not the plan. This is the
+    * model-based quality-scoring pass of a curation pipeline (e.g.
+    * CCNet's fastText LM filter) reduced to its Spark shape.
+    *
+    * Scale shape: pure Catalyst map — hash → mod → sum fuse into one
+    * codegen'd projection with the scan; no shuffle, no UDF, no
+    * broadcast (the "table" is a formula; a real table of B integers
+    * would be a literal array lookup, still a map). Integer sums are
+    * order-independent, so the score is bit-exact cross-engine.
+    * Bigrams pair adjacent tokens with `zip_with` against the
+    * 1-shifted slice — direct input expressions, never an array
+    * reference inside a lambda (the O(n²) trap;
+    * see [[winnowFingerprintsTokens]]).
+    */
+  def hashFeatureWeight(feature: Column, buckets: Int = 1001): Column =
+    portableHash(feature) % buckets - lit(buckets / 2)
+
+  def hashClassifierScore(text: Column, buckets: Int = 1001): Column = {
+    val tk = filter(split(lower(text), "[^a-z0-9_']+"), t => length(t) > 0)
+    val uni = coalesce(
+      aggregate(tk, lit(0L), (acc, t) => acc + hashFeatureWeight(t, buckets)),
+      lit(0L))
+    val bi = when(size(tk) < 2, lit(0L)).otherwise(coalesce(aggregate(
+      zip_with(tk, slice(tk, lit(2), greatest(size(tk) - 1, lit(1))),
+        (a, b) => when(b.isNull, lit(0L))
+          .otherwise(hashFeatureWeight(concat(a, lit(" "), b), buckets))),
+      lit(0L), (acc, x) => acc + x), lit(0L)))
+    uni + bi
+  }
+
   /** PII patterns, deliberately RE2-compatible (no backreferences or
     * lookaround) so the DuckDB oracle evaluates the SAME pattern:
     * redaction must be bit-identical across engines or the scrub is

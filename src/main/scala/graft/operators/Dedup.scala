@@ -565,4 +565,54 @@ object Dedup {
             struct(col("pos"), col("para"))))),
           x => x.getField("para")), "\n")).as("kept_hash"))
   }
+
+  /** Global line-frequency scrub (the CCNet / RefinedWeb shard-level
+    * "repeated lines" pass, public): count every line's occurrences
+    * ACROSS the corpus and drop ALL occurrences of lines appearing in
+    * ≥ `maxDf` documents — boilerplate (cookie banners, nav bars,
+    * footers) repeats corpus-wide, prose doesn't. Distinct from
+    * [[paragraphDedup]] (keep-FIRST of each paragraph): a
+    * frequency-threshold scrub keeps NO copy of over-represented
+    * lines and leaves under-threshold repeats alone. Lines shorter
+    * than `minLen` trimmed chars bypass counting (crumbs/bullets
+    * would dominate the key space).
+    *
+    * Returns one row per doc: line count, dropped count, md5 of the
+    * kept text (lines rejoined in original order).
+    *
+    * Scale shape at 10^10 docs: lines key on md5 (fixed 32-byte key,
+    * never the text); the document-frequency table is a groupBy with
+    * partial aggregation (viral lines combine map-side), the verdict
+    * join is a hash equi-join against that table pre-filtered to
+    * OVER-threshold keys only (at web scale a tiny fraction of
+    * distinct lines — the build side stays small without any
+    * broadcast assumption on the full line dimension), and short
+    * lines never enter the shuffle.
+    */
+  def lineFrequencyDedup(df: DataFrame, idCol: String, textCol: String,
+                         maxDf: Int = 5, minLen: Int = 20): DataFrame = {
+    val lines = df.select(col(idCol).cast("long").as("doc_id"),
+        posexplode(split(col(textCol), "\n", -1)).as(Seq("pos", "line")))
+      .withColumn("elig", length(trim(col("line"))) >= minLen)
+    val eligible = lines.filter(col("elig")).withColumn("h", md5(col("line")))
+    // doc-frequency: distinct docs per line key, kept only when the
+    // threshold is crossed — the join's build side
+    val over = eligible.groupBy("h")
+      .agg(count_distinct(col("doc_id")).as("docf"))
+      .filter(col("docf") >= maxDf)
+      .select(col("h"), lit(true).as("over"))
+    val keptElig = eligible.join(over, Seq("h"), "left")
+      .select(col("doc_id"), col("pos"), col("line"),
+        col("over").isNull.as("keep"))
+    val keptShort = lines.filter(!col("elig"))
+      .select(col("doc_id"), col("pos"), col("line"), lit(true).as("keep"))
+    keptElig.unionByName(keptShort)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(!col("keep"), 1L).otherwise(0L)).as("n_dropped"),
+        md5(array_join(transform(
+          array_sort(collect_list(when(col("keep"),
+            struct(col("pos"), col("line"))))),
+          x => x.getField("line")), "\n")).as("kept_hash"))
+  }
 }

@@ -198,4 +198,42 @@ object Similarity {
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }
+
+  /** SemDedup (Abbas et al. 2023, "SemDeDup", public): semantic
+    * near-duplicate REMOVAL — cluster the embedding space with the
+    * portable IVF k-means ([[IvfIndex.trainPortable]]), then inside
+    * each cluster drop every document whose cosine to a LOWER-id
+    * cluster-mate reaches `tau` (keep-first, deterministic). Unlike
+    * [[cosineDupPairs]] (which REPORTS near-dup pairs), this emits the
+    * keep/drop decision a pipeline acts on, and unlike MinHash it
+    * catches paraphrases — text that shares meaning, not shingles.
+    *
+    * Scale shape at 10^10 docs: train touches k×dim driver state only;
+    * assign is one map over the corpus; the pair stage is an EQUI-join
+    * on cluster id (never corpus²) — cost Σ|cluster|², the SemDedup
+    * trade, bounded by choosing k ∝ corpus size so clusters stay
+    * ~constant-sized. Keep/drop needs no iteration: "dominated by any
+    * lower id" is a single aggregate over pairs, unlike transitive-
+    * closure dedup ([[Dedup]] CC) — SemDedup's published semantics.
+    *
+    * Every arithmetic step is the oracle-proven portable kind
+    * (fixed-point integer k-means; sequential-fold float cosine), so
+    * the whole operator is statable as one SQL oracle.
+    *
+    * Returns (id, cluster, kept) for every corpus row.
+    */
+  def semDedup(spark: org.apache.spark.sql.SparkSession, corpus: DataFrame,
+               k: Int, iterations: Int, tau: Double): DataFrame = {
+    val cents = IvfIndex.trainPortable(spark, corpus, k, iterations)
+    val assigned = IvfIndex.assignPortable(corpus, cents)
+      .select(col("id"), col("vec"), col("cluster"))
+    val dropped = assigned.as("a")
+      .join(assigned.as("b"),
+        col("a.cluster") === col("b.cluster") && col("a.id") < col("b.id"))
+      .filter(cosine(col("a.vec"), col("b.vec")) >= tau)
+      .select(col("b.id").as("id")).distinct()
+    assigned.join(dropped.withColumn("dropped", lit(true)), Seq("id"), "left")
+      .select(col("id"), col("cluster"),
+        not(coalesce(col("dropped"), lit(false))).as("kept"))
+  }
 }

@@ -680,4 +680,61 @@ object QueryCatalog {
       .select(col("media_id"), col("kind"), col("frames"),
         size(col("feature")).as("feature_dim"))
   }
+
+  /** Gopher quality rules ([[TextAnalysis.gopherRules]]): the corpus
+    * prose has no bullets/ellipses/symbols, so rule-firing lines are
+    * synthesized IN-QUERY per row (the oracle states the same
+    * concatenation) — a bullet line for every doc_id%3==0, an
+    * ellipsis line for %4==0, a #-symbol run for %5==0 — so every
+    * rule path (pass and each failure mode) is exercised across the
+    * corpus.
+    */
+  def qGopherRules(spark: SparkSession, dir: String): DataFrame = {
+    val synth = concat(col("text"),
+      when(col("doc_id") % 3 === 0,
+        concat(lit("\n- bullet item "), (col("doc_id") % 5).cast("string"),
+          lit("\n* second bullet"))).otherwise(lit("")),
+      when(col("doc_id") % 4 === 0, lit("\nto be continued..."))
+        .otherwise(lit("")),
+      when(col("doc_id") % 5 === 0, lit("\n## heading # with # symbols #"))
+        .otherwise(lit("")))
+    t(spark, dir, "documents")
+      .select((col("doc_id") +: TextAnalysis.gopherRules(synth)): _*)
+  }
+
+  /** Hashing-trick classifier score ([[TextAnalysis
+    * .hashClassifierScore]]): exact integer unigram+bigram bucket-
+    * weight sum and its sign — the model-based quality gate shape.
+    */
+  def qHashClassifier(spark: SparkSession, dir: String): DataFrame = {
+    val score = TextAnalysis.hashClassifierScore(col("text"))
+    t(spark, dir, "documents")
+      .select(col("doc_id"), score.as("score"), (score > 0).as("label"))
+  }
+
+  /** SemDedup over the embeddings table ([[Similarity.semDedup]]):
+    * same k/iterations as q_ann_ivf (the oracle shares the unrolled
+    * k-means CTE), tau at the fixture's near-dup band.
+    */
+  def qSemDedup(spark: SparkSession, dir: String): DataFrame =
+    Similarity.semDedup(spark, embeddings(spark, dir),
+        k = 16, iterations = 2, tau = 0.35)
+      .select(col("id").as("vec_id"), col("cluster"), col("kept"))
+
+  /** Global line-frequency scrub ([[Dedup.lineFrequencyDedup]]): the
+    * corpus has no naturally viral lines, so two are synthesized
+    * in-query (the oracle states the same concatenation): a corpus-
+    * wide cookie banner (df ≫ threshold, dropped everywhere) and a
+    * doc_id%200-cohort line (df under threshold at sf0.01 — kept;
+    * proves the threshold gates, not mere repetition).
+    */
+  def qLineDedup(spark: SparkSession, dir: String): DataFrame = {
+    val synth = t(spark, dir, "documents").select(col("doc_id"),
+      concat(col("text"), lit("\n"),
+        lit("this site uses cookies to improve your experience accept to continue"),
+        lit("\n"), lit("rare cohort line "), (col("doc_id") % 200).cast("string"),
+        lit(" appears in only a couple of documents at small scale factors"))
+        .as("text"))
+    Dedup.lineFrequencyDedup(synth, "doc_id", "text", maxDf = 5, minLen = 20)
+  }
 }

@@ -284,4 +284,51 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(out(4L) === ((2L, 2L, h(""))))
     assert(out(5L) === ((3L, 0L, h("ok\nok\nok"))))
   }
+
+  test("line-frequency dedup: only over-threshold lines drop, ALL their copies") {
+    val viral = "this viral boilerplate line appears in three documents here"
+    val rare = "this rare line appears in just two documents which is fine"
+    val rows = Seq(
+      (1L, s"$viral\nunique prose line number one long enough to be eligible\n$rare"),
+      (2L, s"$viral\n$rare"),
+      (3L, s"$viral\nshort"),
+      (4L, s"$viral\n$viral")) // two copies in ONE doc: docf counts docs, not rows
+    val out = Dedup.lineFrequencyDedup(rows.toDF("doc_id", "text"),
+        "doc_id", "text", maxDf = 3, minLen = 20)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    def h(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // viral is in 4 docs (>= 3): dropped EVERYWHERE (no survivor, unlike
+    // paragraphDedup's keep-first). rare is in 2 docs (< 3): kept.
+    assert(out(1L) === ((3L, 1L,
+      h(s"unique prose line number one long enough to be eligible\n$rare"))))
+    assert(out(2L) === ((2L, 1L, h(rare))))
+    assert(out(3L) === ((2L, 1L, h("short")))) // short line bypasses counting
+    assert(out(4L) === ((2L, 2L, h(""))))      // both in-doc copies drop
+  }
+
+  test("semDedup: identical vectors dedup to the lower id, singletons survive") {
+    val base = (0 until 20).map { i =>
+      (i.toLong, Array.tabulate(8)(j =>
+        if (j == i % 8) 1.0f else 0.1f * ((i * 7 + j) % 5)))
+    }
+    // plant exact duplicates of ids 3 and 7 at high ids (same vector ⇒
+    // same cluster, cosine 1.0)
+    val rows = base ++ Seq((100L, base(3)._2.clone()), (101L, base(7)._2.clone()))
+    val out = Similarity.semDedup(spark, rows.toDF("id", "vec"),
+        k = 4, iterations = 2, tau = 0.999)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getBoolean(2)))).toMap
+    assert(out.size === 22)
+    assert(out(3L)._2 === true)    // lower id of the dup pair survives
+    assert(out(100L)._2 === false) // planted duplicate drops
+    assert(out(7L)._2 === true)
+    assert(out(101L)._2 === false)
+    // duplicates land in the SAME cluster as their original
+    assert(out(3L)._1 === out(100L)._1)
+    assert(out(7L)._1 === out(101L)._1)
+    // nothing else is near-identical at tau=0.999: all other rows kept
+    assert(out.collect { case (id, (_, kept)) if !kept => id }.toSet ===
+      Set(100L, 101L))
+  }
 }

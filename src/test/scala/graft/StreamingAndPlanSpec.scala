@@ -376,4 +376,35 @@ class StreamingAndPlanSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("gopherRules and hashClassifier are pure maps: no exchange in the plan") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    Seq(
+      docs.select((col("doc_id") +:
+        graft.functions.TextAnalysis.gopherRules(col("text"))): _*),
+      docs.select(col("doc_id"),
+        graft.functions.TextAnalysis.hashClassifierScore(col("text")).as("s"))
+    ).foreach { out =>
+      assert(out.count() > 0)
+      val nodes = planNodes(out.queryExecution.executedPlan)
+      assert(nodes.collect { case s: ShuffleExchangeLike => s }.isEmpty,
+        "a per-row scoring pass must not shuffle")
+      assert(out.queryExecution.executedPlan.toString.contains("*("),
+        "the scoring projection must be whole-stage codegen'd")
+    }
+  }
+
+  test("semDedup plan: within-cluster equi-join, never a cartesian product") {
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val out = graft.operators.Similarity.semDedup(spark, emb,
+      k = 8, iterations = 1, tau = 0.35)
+    assert(out.count() === emb.count())
+    val nodes = planNodes(out.queryExecution.executedPlan)
+    assert(nodes.collect { case c: CartesianProductExec => c }.isEmpty &&
+      nodes.collect { case b: BroadcastNestedLoopJoinExec => b }.isEmpty,
+      "the pair stage must join on the cluster id, not cross the corpus")
+  }
 }

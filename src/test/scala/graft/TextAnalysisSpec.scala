@@ -174,4 +174,53 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out(2).getInt(1) === 2)
     assert(out(2).getString(2) === "two <EMAIL> <EMAIL> ips <IP> <IP>")
   }
+
+  test("gopherRules: each rule discriminates; bounds are the paper's") {
+    def run(text: String): Map[String, Any] = {
+      val row = Seq(text).toDF("text")
+        .select(TextAnalysis.gopherRules($"text"): _*).collect().head
+      row.schema.fieldNames.zip(row.toSeq).toMap
+    }
+    // a passing doc: >= 50 words of plain prose with stopwords
+    val prose = ("the quick brown fox jumps over that lazy dog near " +
+      "a river bank and all of them have seen it happen with joy ") * 3
+    val pass = run(prose)
+    assert(pass("gopher_pass") === true)
+    assert(pass("n_words").asInstanceOf[Int] >= 50)
+    assert(pass("n_stop_hits").asInstanceOf[Int] >= 2)
+    // too short
+    assert(run("the dog and the cat have fun with all of that")("gopher_pass") === false)
+    // bullet-dominated
+    val bullets = (1 to 10).map(i => s"- bullet $i").mkString("\n")
+    assert(run(prose + "\n" + bullets)("bullet_frac").asInstanceOf[Double] > 0.9)
+    // ellipsis lines counted (both ... and …)
+    val ell = run("first line...\nsecond line…\nthird plain line")
+    assert(ell("ellipsis_frac") === 0.6667)
+    // symbol ratio: '#' and ellipses against words
+    val sym = run("# # # # # five tags")
+    assert(sym("symbol_ratio").asInstanceOf[Double] > 0.1)
+    // empty text: no NaNs, fails
+    val empty = run("")
+    assert(empty("n_words") === 0 && empty("mean_word_len") === 0.0)
+    assert(empty("gopher_pass") === false)
+  }
+
+  test("hashClassifierScore: exact integer uni+bigram bucket-weight sum") {
+    def w(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.substring(0, 8)
+      java.lang.Long.parseLong(hex, 16) % 1001 - 500
+    }
+    def score(text: String): Long = Seq(text).toDF("text")
+      .select(TextAnalysis.hashClassifierScore($"text").as("s"))
+      .collect().head.getLong(0)
+    // empty and single-token edge cases
+    assert(score("") === 0L)
+    assert(score("hello") === w("hello"))
+    // multi-token: unigrams + adjacent bigrams, recomputed independently
+    val toks = Seq("the", "cat", "sat")
+    val expected = toks.map(w).sum +
+      toks.sliding(2).map(p => w(p.mkString(" "))).sum
+    assert(score("The cat SAT") === expected) // lowercased tokenization
+  }
 }
