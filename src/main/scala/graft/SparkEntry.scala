@@ -81,6 +81,8 @@ object SparkEntry {
     "q_length_deciles" -> (qLengthDeciles(_, _)),
     "q_gopher_rules" -> (qGopherRules(_, _)),
     "q_hash_classifier" -> (qHashClassifier(_, _)),
+    "q_stratified_sample" -> (qStratifiedSample(_, _)),
+    "q_domain_gate" -> (qDomainGate(_, _)),
     "q_sessionize" -> (qSessionize(_, _)),
     "q_contamination" -> (qContamination(_, _)),
     "q_fingerprint" -> (qFingerprint(_, _)),
@@ -556,6 +558,37 @@ object SparkEntry {
         | FROM tok)
         |SELECT doc_id, CAST(score AS bigint) AS score, score > 0 AS label
         |FROM sc""".stripMargin,
+    "q_stratified_sample" ->
+      """SELECT doc_id, lang,
+        | CAST(CASE lang WHEN 'en' THEN 2500 WHEN 'de' THEN 5000
+        |  WHEN 'es' THEN 7500 ELSE 10000 END AS int) AS rate_bp,
+        | (('0x' || substr(md5('samp:' || CAST(doc_id AS varchar)), 1, 8))::BIGINT
+        |  % 10000) < CASE lang WHEN 'en' THEN 2500 WHEN 'de' THEN 5000
+        |   WHEN 'es' THEN 7500 ELSE 10000 END AS kept
+        |FROM documents""".stripMargin,
+    "q_domain_gate" ->
+      """WITH tok AS (
+        | SELECT doc_id, source, list_filter(
+        |   regexp_split_to_array(lower(text), '[^a-z0-9_'']+'),
+        |   x -> length(x) > 0) AS tk
+        | FROM documents),
+        |sc AS (
+        | SELECT doc_id, source,
+        |  coalesce(list_sum(list_transform(tk,
+        |    t -> ('0x' || substr(md5(t), 1, 8))::BIGINT % 1001 - 500)), 0)
+        |  + CASE WHEN len(tk) < 2 THEN 0 ELSE
+        |     coalesce(list_sum(list_transform(range(1, len(tk)),
+        |      i -> ('0x' || substr(md5(tk[i] || ' ' || tk[i+1]), 1, 8))::BIGINT
+        |       % 1001 - 500)), 0) END AS doc_score
+        | FROM tok),
+        |verdict AS (
+        | SELECT source, CAST(sum(doc_score) AS bigint) AS source_score_sum,
+        |  count(*) AS source_n_docs,
+        |  sum(doc_score) < 0 AS source_blocked
+        | FROM sc GROUP BY source)
+        |SELECT s.doc_id, s.source, v.source_score_sum, v.source_n_docs,
+        | v.source_blocked
+        |FROM sc s JOIN verdict v USING (source)""".stripMargin,
     "q_token_stats" ->
       """SELECT lang, CAST(sum(n) AS bigint) AS total_tokens,
         | round(avg(n), 4) AS avg_tokens

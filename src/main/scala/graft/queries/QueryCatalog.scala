@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{GraftFunctions, TextAnalysis}
-import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.operators.{Curation, Dedup, Multimodal, Similarity}
 
 /** The operator catalog exposed through SparkEntry: one query per
   * operator family from SURVEY.md §2 plus the training-data-pipeline
@@ -720,6 +720,28 @@ object QueryCatalog {
     Similarity.semDedup(spark, embeddings(spark, dir),
         k = 16, iterations = 2, tau = 0.35)
       .select(col("id").as("vec_id"), col("cluster"), col("kept"))
+
+  /** Deterministic stratified sampling ([[Curation.stratifiedKeep]]):
+    * per-language basis-point rates (the data-mixture knob); every row
+    * emitted with its rate and verdict so the oracle checks the whole
+    * decision surface, not just survivors.
+    */
+  def qStratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val rates = Map("en" -> 2500, "de" -> 5000, "es" -> 7500)
+    t(spark, dir, "documents").select(col("doc_id"), col("lang"),
+      coalesce(element_at(typedLit(rates), col("lang")), lit(10000))
+        .as("rate_bp"),
+      Curation.stratifiedKeep(col("doc_id"), col("lang"), rates,
+        defaultBp = 10000).as("kept"))
+  }
+
+  /** Domain-level gate ([[Curation.domainGate]]) over the hashing-
+    * trick classifier score: block sources whose total score is
+    * negative, verdict joined back per doc.
+    */
+  def qDomainGate(spark: SparkSession, dir: String): DataFrame =
+    Curation.domainGate(t(spark, dir, "documents"), "doc_id", "source",
+      TextAnalysis.hashClassifierScore(col("text")))
 
   /** Global line-frequency scrub ([[Dedup.lineFrequencyDedup]]): the
     * corpus has no naturally viral lines, so two are synthesized

@@ -23,7 +23,11 @@ object ScaleProbe {
       // GRAFT_STRICT_EXTRACT=1 probes the two-parse extractor — the
       // fused-vs-strict pair is the falsifiable test of the
       // memory-bandwidth-knee attribution (BENCH.md)
-      strictExtract = sys.env.contains("GRAFT_STRICT_EXTRACT"))
+      strictExtract = sys.env.contains("GRAFT_STRICT_EXTRACT"),
+      // GRAFT_SEEN_KEYS=0 disables the broadcast-exact seen gate so the
+      // expand phase's shuffled path can be probed at any core count
+      broadcastSeenKeys = sys.env.get("GRAFT_SEEN_KEYS").map(_.toLong)
+        .getOrElse(10000000L))
     if (regime == "bucket")
       base.copy(fetchBuckets = 64,
         fetchBucketDir = Some(s"$corpusBase-buckets64"),

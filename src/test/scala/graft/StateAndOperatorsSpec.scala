@@ -226,4 +226,42 @@ class StateAndOperatorsSpec extends AnyFunSuite {
     assert(rows("et_blob").getAs[String]("field_type") === "text")
     assert(rows("ef_score").isNullAt(rows("ef_score").fieldIndex("int_value")))
   }
+
+  test("stratifiedKeep: deterministic, rate-monotone, partition-invariant") {
+    import spark.implicits._
+    import graft.operators.Curation
+    val rows = (0L until 2000L).map(i =>
+      (i, if (i % 3 == 0) "en" else if (i % 3 == 1) "de" else "xx"))
+    val rates = Map("en" -> 2500, "de" -> 7500)
+    def kept(parts: Int): Set[Long] = rows.toDF("id", "lang")
+      .repartition(parts)
+      .filter(Curation.stratifiedKeep(col("id"), col("lang"), rates,
+        defaultBp = 10000))
+      .select("id").as[Long].collect().toSet
+    val k4 = kept(4)
+    assert(k4 === kept(1), "the sample must not depend on partitioning")
+    // rates bind per stratum: ~25% of en, ~75% of de, all of xx
+    val byLang = rows.filter(r => k4.contains(r._1)).groupBy(_._2)
+      .view.mapValues(_.size.toDouble).toMap
+    val totals = rows.groupBy(_._2).view.mapValues(_.size.toDouble).toMap
+    assert(byLang("xx") === totals("xx")) // default 10000bp keeps all
+    assert(math.abs(byLang("en") / totals("en") - 0.25) < 0.06)
+    assert(math.abs(byLang("de") / totals("de") - 0.75) < 0.06)
+  }
+
+  test("domainGate: exact integer verdicts join back to every doc") {
+    import spark.implicits._
+    import graft.operators.Curation
+    val docs = Seq(
+      (1L, "good.com", 10L), (2L, "good.com", -3L),
+      (3L, "bad.com", -5L), (4L, "bad.com", 2L),
+      (5L, "solo.org", 0L)).toDF("doc_id", "source", "s")
+    val out = Curation.domainGate(docs, "doc_id", "source", col("s"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(out.size === 5)
+    assert(out(1L) === ((7L, 2L, false)) && out(2L) === ((7L, 2L, false)))
+    assert(out(3L) === ((-3L, 2L, true)) && out(4L) === ((-3L, 2L, true)))
+    assert(out(5L) === ((0L, 1L, false))) // zero is not blocked
+  }
 }
