@@ -63,6 +63,7 @@ object SparkEntry {
     "q_session_skip" -> (qSessionSkip(_, _)),
     "q_search_metapages" -> (qSearchMetapages(_, _)),
     "q_pagination_cap" -> (qPaginationCap(_, _)),
+    "q_sitemap" -> (qSitemap(_, _)),
     // crawl scalar ops
     "q_url_canonicalize" -> (qUrlCanonicalize(_, _)),
     "q_extract_text" -> (qExtractText(_, _)),
@@ -558,6 +559,14 @@ object SparkEntry {
         | FROM tok)
         |SELECT doc_id, CAST(score AS bigint) AS score, score > 0 AS label
         |FROM sc""".stripMargin,
+    "q_sitemap" ->
+      """SELECT 'http://' || source || '.test/sitemap.xml' AS sitemap_url,
+        | 'http://' || source || '.test/d/' || CAST(doc_id AS varchar) AS url,
+        | CAST(datediff('day', DATE '1970-01-01',
+        |   DATE '2024-01-01' + CAST(doc_id % 365 AS int)) AS bigint)
+        |  AS lastmod_days,
+        | CAST((doc_id % 10 + 1) * 1000 AS int) AS priority_bp
+        |FROM documents""".stripMargin,
     "q_stratified_sample" ->
       """SELECT doc_id, lang,
         | CAST(CASE lang WHEN 'en' THEN 2500 WHEN 'de' THEN 5000

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{GraftFunctions, TextAnalysis}
-import graft.operators.{Curation, Dedup, Multimodal, Similarity}
+import graft.operators.{Curation, Dedup, Multimodal, Similarity, SitemapSource}
 
 /** The operator catalog exposed through SparkEntry: one query per
   * operator family from SURVEY.md §2 plus the training-data-pipeline
@@ -720,6 +720,41 @@ object QueryCatalog {
     Similarity.semDedup(spark, embeddings(spark, dir),
         k = 16, iterations = 2, tau = 0.35)
       .select(col("id").as("vec_id"), col("cluster"), col("kept"))
+
+  /** Sitemap source ([[SitemapSource]]): one synthetic `<urlset>` XML
+    * document per source is BUILT in-query from the documents table
+    * (loc/lastmod/priority all arithmetic in doc_id), then parsed by
+    * the engine's sitemap parser — a generator↔parser round trip the
+    * oracle can state without any XML machinery: it computes the same
+    * entries directly. Output: (sitemap_url, url, lastmod_days,
+    * priority_bp).
+    */
+  def qSitemap(spark: SparkSession, dir: String): DataFrame = {
+    val p = (col("doc_id") % 10 + 1).cast("int")
+    val entryXml = concat(
+      lit("<url><loc>http://"), col("source"), lit(".test/d/"),
+      col("doc_id").cast("string"), lit("</loc><lastmod>"),
+      date_format(date_add(lit("2024-01-01").cast("date"),
+        (col("doc_id") % 365).cast("int")), "yyyy-MM-dd"),
+      lit("</lastmod><priority>"),
+      when(p === 10, lit("1.0"))
+        .otherwise(concat(lit("0."), p.cast("string"))),
+      lit("</priority></url>"))
+    val xml = t(spark, dir, "documents")
+      .select(col("source"), col("doc_id"), entryXml.as("e"))
+      .groupBy(col("source"))
+      .agg(concat(lit("<?xml version=\"1.0\"?><urlset>"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("doc_id"), col("e")))),
+          s => s.getField("e")), ""),
+        lit("</urlset>")).as("xml"))
+      .select(concat(lit("http://"), col("source"), lit(".test/sitemap.xml"))
+        .as("sitemap_url"), col("xml"))
+    SitemapSource.entries(spark, xml).toDF()
+      .select(col("sitemapUrl").as("sitemap_url"), col("url"),
+        (col("lastmodMs") / 86400000L).cast("long").as("lastmod_days"),
+        col("priorityBp").as("priority_bp"))
+  }
 
   /** Deterministic stratified sampling ([[Curation.stratifiedKeep]]):
     * per-language basis-point rates (the data-mixture knob); every row

@@ -154,4 +154,49 @@ class SourcesAndSinksSpec extends AnyFunSuite {
     assert(deferred === Set("http://a.test/limited", "http://a.test/flaky"),
       "rate-limited and exhausted-retryable urls re-enter; 404 stays terminal")
   }
+
+  test("sitemap parse: urlset entries, bare-date lastmod, priority, defaults") {
+    import graft.operators.SitemapSource
+    val xml = """<?xml version="1.0" encoding="UTF-8"?>
+      |<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+      | <url><loc>HTTP://Site.Example.COM:80/a/page1</loc>
+      |  <lastmod>2024-03-05</lastmod><priority>0.8</priority></url>
+      | <url><loc>/relative/page2</loc>
+      |  <lastmod>2024-03-05T10:30:00+02:00</lastmod></url>
+      | <url><loc>http://site.example.com/page3?utm_source=x&amp;id=7</loc>
+      |  <priority>broken</priority></url>
+      | <url><lastmod>2024-01-01</lastmod></url>
+      |</urlset>""".stripMargin
+    val e = SitemapSource.parseSitemap(xml, "http://site.example.com/sitemap.xml")
+    assert(e.size === 3) // the loc-less entry drops
+    val byUrl = e.map(x => x.url -> x).toMap
+    // canonicalization: case/port normalize, tracking strip, relative resolve
+    assert(byUrl.contains("http://site.example.com/a/page1"))
+    assert(byUrl("http://site.example.com/a/page1").priorityBp === 8000)
+    assert(byUrl("http://site.example.com/a/page1").lastmodMs ===
+      java.time.LocalDate.of(2024, 3, 5)
+        .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli)
+    assert(byUrl.contains("http://site.example.com/relative/page2"))
+    assert(byUrl("http://site.example.com/relative/page2").lastmodMs ===
+      java.time.OffsetDateTime.parse("2024-03-05T10:30:00+02:00")
+        .toInstant.toEpochMilli)
+    val p3 = byUrl("http://site.example.com/page3?id=7")
+    assert(p3.priorityBp === 5000 && p3.lastmodMs === -1L) // defaults
+    assert(e.forall(!_.isNestedSitemap))
+  }
+
+  test("sitemap index parse: nested references flagged; malformed never throws") {
+    import graft.operators.SitemapSource
+    val idx = """<sitemapindex>
+      | <sitemap><loc>http://s.test/maps/a.xml</loc>
+      |  <lastmod>2024-02-02</lastmod></sitemap>
+      | <sitemap><loc>http://s.test/maps/b.xml</loc></sitemap>
+      |</sitemapindex>""".stripMargin
+    val e = SitemapSource.parseSitemap(idx, "http://s.test/sitemap.xml")
+    assert(e.size === 2 && e.forall(_.isNestedSitemap))
+    assert(e.map(_.url).toSet ===
+      Set("http://s.test/maps/a.xml", "http://s.test/maps/b.xml"))
+    assert(SitemapSource.parseSitemap("<<<garbage", "http://s.test/x") === Seq())
+    assert(SitemapSource.parseSitemap("", "http://s.test/x") === Seq())
+  }
 }
