@@ -84,6 +84,7 @@ object SparkEntry {
     "q_hash_classifier" -> (qHashClassifier(_, _)),
     "q_stratified_sample" -> (qStratifiedSample(_, _)),
     "q_domain_gate" -> (qDomainGate(_, _)),
+    "q_chunk_tokens" -> (qChunkTokens(_, _)),
     "q_sessionize" -> (qSessionize(_, _)),
     "q_contamination" -> (qContamination(_, _)),
     "q_fingerprint" -> (qFingerprint(_, _)),
@@ -559,6 +560,24 @@ object SparkEntry {
         | FROM tok)
         |SELECT doc_id, CAST(score AS bigint) AS score, score > 0 AS label
         |FROM sc""".stripMargin,
+    "q_chunk_tokens" ->
+      """WITH toks AS (
+        | SELECT doc_id, list_filter(
+        |   regexp_split_to_array(lower(text), '[^a-z0-9_'']+'),
+        |   x -> length(x) > 0) AS tk
+        | FROM documents),
+        |c AS (
+        | SELECT doc_id, tk,
+        |  unnest(range(0, (len(tk) - 1) // 48 + 1)) AS chunk_id
+        | FROM toks WHERE len(tk) > 0)
+        |SELECT doc_id, CAST(chunk_id AS int) AS chunk_id,
+        | CAST(least(chunk_id * 48 + 64, len(tk)) - chunk_id * 48 AS int)
+        |  AS n_tokens,
+        | md5(array_to_string(
+        |  tk[chunk_id * 48 + 1 : least(chunk_id * 48 + 64, len(tk))], ' '))
+        |  AS chunk_hash
+        |FROM c
+        |WHERE least(chunk_id * 48 + 64, len(tk)) - chunk_id * 48 >= 8""".stripMargin,
     "q_sitemap" ->
       """SELECT 'http://' || source || '.test/sitemap.xml' AS sitemap_url,
         | 'http://' || source || '.test/d/' || CAST(doc_id AS varchar) AS url,

@@ -363,6 +363,44 @@ object TextAnalysis {
     uni + bi
   }
 
+  /** Fixed-window token chunking with overlap — the pretraining/RAG
+    * chunker: split each document into windows of `window` tokens
+    * advancing by `stride` (stride < window ⇒ overlap), final partial
+    * window kept when ≥ `minTokens`. Deterministic: chunk boundaries
+    * are pure functions of the token sequence.
+    *
+    * Scale shape: ONE posexplode + a doc-keyed aggregate per chunk id
+    * — each token lands in ≤ ceil(window/stride) chunks (bounded
+    * fan-out, never doc²), every shuffle keys on (doc, chunk). No
+    * array lambda references the upstream split (the O(n²) projection-
+    * collapse trap, see [[winnowFingerprintsTokens]]).
+    *
+    * Returns (idCol, chunk_id, n_tokens, chunk_hash) — the hash (md5
+    * of the space-joined window) stands in for shipping chunk text,
+    * which downstream equality checks don't need.
+    */
+  def chunkTokens(df: org.apache.spark.sql.DataFrame, idCol: String,
+                  textCol: String, window: Int = 64, stride: Int = 48,
+                  minTokens: Int = 8): org.apache.spark.sql.DataFrame = {
+    require(stride > 0 && stride <= window && minTokens >= 1)
+    val toks = filter(split(lower(col(textCol)), "[^a-z0-9_']+"),
+      t => length(t) > 0)
+    val ex = df.select(col(idCol), posexplode(toks).as(Seq("pos", "tok")))
+    // token at pos belongs to chunk c iff c*stride <= pos < c*stride+window
+    // i.e. c in [ceil((pos-window+1)/stride), floor(pos/stride)]
+    val lo = greatest(ceil((col("pos") - window + 1).cast("double") / stride)
+      .cast("int"), lit(0))
+    val hi = expr(s"pos div $stride").cast("int") // int div, NOT / (double)
+    ex.select(col(idCol), col("pos"), col("tok"),
+        explode(sequence(lo, hi)).as("chunk_id"))
+      .groupBy(col(idCol), col("chunk_id"))
+      .agg(count(lit(1)).cast("int").as("n_tokens"),
+        md5(concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          s => s.getField("tok")))).as("chunk_hash"))
+      .filter(col("n_tokens") >= minTokens)
+  }
+
   /** PII patterns, deliberately RE2-compatible (no backreferences or
     * lookaround) so the DuckDB oracle evaluates the SAME pattern:
     * redaction must be bit-identical across engines or the scrub is

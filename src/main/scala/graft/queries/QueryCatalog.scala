@@ -721,6 +721,13 @@ object QueryCatalog {
         k = 16, iterations = 2, tau = 0.35)
       .select(col("id").as("vec_id"), col("cluster"), col("kept"))
 
+  /** Pretraining/RAG chunker ([[TextAnalysis.chunkTokens]]): 64-token
+    * windows, stride 48 (16-token overlap), partials ≥ 8 kept.
+    */
+  def qChunkTokens(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.chunkTokens(t(spark, dir, "documents"), "doc_id", "text",
+      window = 64, stride = 48, minTokens = 8)
+
   /** Sitemap source ([[SitemapSource]]): one synthetic `<urlset>` XML
     * document per source is BUILT in-query from the documents table
     * (loc/lastmod/priority all arithmetic in doc_id), then parsed by

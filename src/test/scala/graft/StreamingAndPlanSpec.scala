@@ -377,6 +377,53 @@ class StreamingAndPlanSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming URL dedup: first-in-horizon survives, state is watermark-bounded") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamDedup
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[(Long, Long, String)]
+    val df = ms.toDF().toDF("urlHash", "sec", "url")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val q = StreamDedup.dedupStream(df, horizon = "100 seconds")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    def emitted(): Seq[(Long, Long)] = spark.sql(
+      "select urlHash, sec from dedup_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    try {
+      // batch 1: key 1 twice (dup within batch), key 2 once
+      ms.addData((1L, 1000L, "a"), (1L, 1010L, "a-dup"), (2L, 1020L, "b"))
+      q.processAllAvailable()
+      assert(emitted().map(_._1).sorted === Seq(1L, 2L))
+      // batch 2: key 1 again INSIDE the horizon -> suppressed;
+      // key 3 new -> emitted; watermark advances to 1100-100=1000
+      ms.addData((1L, 1050L, "a-again"), (3L, 1100L, "c"))
+      q.processAllAvailable()
+      assert(emitted().count(_._1 == 1L) === 1, "in-horizon repeat must dedup")
+      assert(emitted().map(_._1).toSet === Set(1L, 2L, 3L))
+      // push the watermark far past key 1's state expiry, then key 1
+      // re-appears -> legitimately schedulable again (re-crawl
+      // frequency semantics), state for old keys was dropped
+      ms.addData((4L, 5000L, "d"))
+      q.processAllAvailable()
+      ms.addData((1L, 5100L, "a-recrawl"))
+      q.processAllAvailable()
+      assert(emitted().count(_._1 == 1L) === 2,
+        "post-horizon re-appearance must re-emit")
+      // batch-twin parity on the first-horizon slice
+      val batch = StreamDedup.dedupBatch(
+        Seq((1L, 1000L, "a"), (1L, 1010L, "a-dup"), (2L, 1020L, "b"),
+          (1L, 1050L, "a-again"), (3L, 1100L, "c"))
+          .toDF("urlHash", "sec", "url"))
+        .select("urlHash", "sec").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(batch === Set((1L, 1000L), (2L, 1020L), (3L, 1100L)))
+      assert(emitted().filter(_._2 <= 1100L).toSet === batch,
+        "stream must agree with the batch twin inside one horizon")
+    } finally q.stop()
+  }
+
   test("gopherRules and hashClassifier are pure maps: no exchange in the plan") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")

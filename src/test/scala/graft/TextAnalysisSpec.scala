@@ -205,6 +205,25 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(empty("gopher_pass") === false)
   }
 
+  test("chunkTokens: windows, stride overlap, partial-tail rule") {
+    def h(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val toks = (0 until 25).map(i => s"t$i")
+    val out = TextAnalysis.chunkTokens(
+        Seq((1L, toks.mkString(" ")), (2L, "only three tokens"),
+          (3L, "")).toDF("doc_id", "text"),
+        "doc_id", "text", window = 10, stride = 8, minTokens = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> ((r.getInt(2), r.getString(3))))
+      .toMap
+    // doc 1: 25 tokens, chunks at 0,8,16,24 -> sizes 10,10,9,1(<4 dropped)
+    assert(out.keySet === Set((1L, 0), (1L, 1), (1L, 2)))
+    assert(out((1L, 0)) === ((10, h(toks.slice(0, 10).mkString(" ")))))
+    assert(out((1L, 1)) === ((10, h(toks.slice(8, 18).mkString(" ")))))
+    assert(out((1L, 2)) === ((9, h(toks.slice(16, 25).mkString(" ")))))
+    // doc 2 (3 tokens < minTokens) and doc 3 (empty) emit nothing
+  }
+
   test("hashClassifierScore: exact integer uni+bigram bucket-weight sum") {
     def w(s: String): Long = {
       val hex = java.security.MessageDigest.getInstance("MD5")
