@@ -112,10 +112,11 @@ object IvfIndex {
 
   /** Exact integer L2² between a quantized column and a literal
     * centroid (overflow-safe: |q| ≤ ~10⁵ ⇒ Σ diff² ≤ 2.6·10¹² « 2⁶³).
+    * Codegen'd expression ([[graft.plans.LongSqDist]]) — the HOF fold
+    * form is CodegenFallback, and k of these run per row.
     */
   private def qDist(qv: Column, cent: Array[Long]): Column =
-    aggregate(zip_with(qv, typedLit(cent.toSeq), (a, b) => (a - b) * (a - b)),
-      lit(0L), (acc, x) => acc + x)
+    graft.plans.VectorExprs.long_sqdist(qv, typedLit(cent.toSeq))
 
   /** argmin over literal centroids, ties to the smallest cluster id
     * (lexicographic array_min over (dist, cid) structs — one codegen'd

@@ -308,6 +308,32 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(out(4L) === ((2L, 2L, h(""))))      // both in-doc copies drop
   }
 
+  test("codegen'd vector kernels are bit-identical to the HOF folds") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 200).map { i =>
+      val d = 1 + rnd.nextInt(8) * 8
+      Row(i.toLong, Array.fill(d)(rnd.nextFloat() * 2 - 1),
+        Array.fill(d)(rnd.nextFloat() * 2 - 1))
+    } :+ Row(200L, Array(1.0f, 2.0f), Array(3.0f)) // length mismatch -> null
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("a", ArrayType(FloatType)), StructField("b", ArrayType(FloatType))))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 3), schema)
+    val cmp = df.select(col("id"),
+      Similarity.dot(col("a"), col("b")).as("fast"),
+      Similarity.dotFold(col("a"), col("b")).as("fold")).collect()
+    cmp.foreach { r =>
+      assert(r.isNullAt(1) === r.isNullAt(2), s"null mismatch at id ${r.getLong(0)}")
+      if (!r.isNullAt(1))
+        assert(java.lang.Double.doubleToRawLongBits(r.getDouble(1)) ===
+          java.lang.Double.doubleToRawLongBits(r.getDouble(2)),
+          s"bit mismatch at id ${r.getLong(0)}")
+    }
+    assert(cmp.count(_.isNullAt(1)) === 1) // exactly the mismatched row
+  }
+
   test("semDedup: identical vectors dedup to the lower id, singletons survive") {
     val base = (0 until 20).map { i =>
       (i.toLong, Array.tabulate(8)(j =>
