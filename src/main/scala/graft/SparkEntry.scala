@@ -97,6 +97,10 @@ object SparkEntry {
     "q_ngram_jaccard" -> (qNgramJaccard(_, _)),
     "q_paragraph_dedup" -> (qParagraphDedup(_, _)),
     "q_line_dedup" -> (qLineDedup(_, _)),
+    // link-graph analytics / retrieval
+    "q_pagerank" -> (qPagerank(_, _)),
+    "q_components" -> (qComponents(_, _)),
+    "q_bm25_rank" -> (qBm25Rank(_, _)),
     // similarity search
     "q_cosine_topk" -> (qCosineTopK(_, _)),
     "q_ann_lsh" -> (qAnnLsh(_, _)),
@@ -710,6 +714,85 @@ object SparkEntry {
         | md5(coalesce(string_agg(line, chr(10) ORDER BY pos)
         |   FILTER (WHERE keep), '')) AS kept_hash
         |FROM verdict GROUP BY doc_id""".stripMargin,
+    // PageRank: the same 3 damped iterations unrolled in SQL, all
+    // integer division — ranks must match bit-exactly.
+    "q_pagerank" ->
+      """WITH v AS (SELECT doc_id FROM documents),
+        |nn AS (SELECT max(doc_id) + 1 AS n FROM documents),
+        |e0 AS (
+        | SELECT doc_id AS src, (doc_id * 7 + 13 * j) % nn.n AS dst
+        | FROM documents CROSS JOIN nn CROSS JOIN (SELECT unnest([1, 2, 3]) AS j)),
+        |e AS (SELECT src, dst FROM e0 WHERE dst IN (SELECT doc_id FROM v)),
+        |ed AS (
+        | SELECT e.src, e.dst, d.outdeg
+        | FROM e JOIN (SELECT src, CAST(count(*) AS BIGINT) AS outdeg
+        |   FROM e GROUP BY 1) d USING (src)),
+        |r0 AS (SELECT doc_id AS vv, CAST(1000000 AS BIGINT) AS pr FROM v),
+        |s1 AS (SELECT ed.dst AS vv, sum(r0.pr // ed.outdeg) AS s
+        |       FROM ed JOIN r0 ON r0.vv = ed.src GROUP BY 1),
+        |r1 AS (SELECT v.doc_id AS vv,
+        |        CAST(150000 + (850 * coalesce(s1.s, 0)) // 1000 AS BIGINT) AS pr
+        |       FROM v LEFT JOIN s1 ON s1.vv = v.doc_id),
+        |s2 AS (SELECT ed.dst AS vv, sum(r1.pr // ed.outdeg) AS s
+        |       FROM ed JOIN r1 ON r1.vv = ed.src GROUP BY 1),
+        |r2 AS (SELECT v.doc_id AS vv,
+        |        CAST(150000 + (850 * coalesce(s2.s, 0)) // 1000 AS BIGINT) AS pr
+        |       FROM v LEFT JOIN s2 ON s2.vv = v.doc_id),
+        |s3 AS (SELECT ed.dst AS vv, sum(r2.pr // ed.outdeg) AS s
+        |       FROM ed JOIN r2 ON r2.vv = ed.src GROUP BY 1),
+        |r3 AS (SELECT v.doc_id AS vv,
+        |        CAST(150000 + (850 * coalesce(s3.s, 0)) // 1000 AS BIGINT) AS pr
+        |       FROM v LEFT JOIN s3 ON s3.vv = v.doc_id)
+        |SELECT vv AS doc_id, pr AS rank_micro FROM r3""".stripMargin,
+    // Connected components: the oracle computes them by an INDEPENDENT
+    // algorithm (recursive-CTE reachability closure + min label) vs the
+    // engine's pointer-halving label propagation.
+    "q_components" ->
+      """WITH RECURSIVE
+        |v AS (SELECT doc_id FROM documents),
+        |m AS (SELECT max(doc_id) AS m FROM documents),
+        |e0 AS (
+        | SELECT doc_id AS a, doc_id - doc_id % 7 AS b
+        | FROM documents WHERE doc_id % 7 <> 0
+        | UNION ALL
+        | SELECT doc_id AS a, doc_id + 7 AS b
+        | FROM documents CROSS JOIN m
+        | WHERE doc_id % 21 = 0 AND doc_id + 7 <= m.m),
+        |e AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+        |reach(a, b) AS (
+        | SELECT doc_id, doc_id FROM v
+        | UNION
+        | SELECT r.a, e.b FROM reach r JOIN e ON e.a = r.b)
+        |SELECT a AS doc_id, min(b) AS component
+        |FROM reach GROUP BY 1""".stripMargin,
+    // BM25: identical fixed-point integer scoring stated in SQL.
+    "q_bm25_rank" ->
+      """WITH toks AS (
+        | SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+        |   '[^a-z0-9_'']+'), x -> length(x) > 0) AS tk
+        | FROM documents),
+        |dl AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl FROM toks),
+        |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(dl) // count(*) AS BIGINT) AS avgdl FROM dl),
+        |tf AS (
+        | SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        | FROM (SELECT doc_id, unnest(tk) AS term FROM toks)
+        | WHERE term IN ('spark', 'join', 'merge')
+        | GROUP BY 1, 2),
+        |dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |scored AS (
+        | SELECT tf.doc_id,
+        |  CAST(sum((s.n_docs - dfq.df + 1) *
+        |    ((tf.tf * 2200000) // (tf.tf * 1000 +
+        |      (1200 * (250 + (750 * dl.dl) // s.avgdl)) // 1000)))
+        |   AS BIGINT) AS score_milli
+        | FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id)
+        | CROSS JOIN stats s
+        | GROUP BY 1)
+        |SELECT doc_id, score_milli,
+        | CAST(row_number() OVER (ORDER BY score_milli DESC, doc_id ASC) AS int)
+        |  AS rank
+        |FROM scored ORDER BY score_milli DESC, doc_id ASC LIMIT 10""".stripMargin,
     "q_crawl_frequency_gate" ->
       """SELECT o_orderkey,
         | CAST(datediff('day', o_orderdate, DATE '1995-06-17') AS int) AS age_days,

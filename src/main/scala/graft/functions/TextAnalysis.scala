@@ -423,6 +423,62 @@ object TextAnalysis {
     regexp_replace(regexp_replace(text, EmailPattern, "<EMAIL>"),
       Ipv4Pattern, "<IP>")
 
+  /** BM25-shaped ranked retrieval over the corpus — the inverted-index
+    * query a webtext engine serves once documents are indexed (the
+    * batch analog of the reference's keyword-driven search genre,
+    * `crawler/utils/keywordfilter.py` rebuilt as [[GraftFunctions
+    * .keywordMatch]], which only FILTERS; this RANKS). Scoring is the
+    * BM25 term-saturation form with k1=1.2, b=0.75 in FIXED-POINT
+    * INTEGER milli-units and the integer idf surrogate `N − df + 1`
+    * (same surrogate as [[topTerms]]):
+    *
+    *   inner  = 250 + (750·dl) DIV avgdl          (milli of 1−b+b·dl/avgdl)
+    *   denom  = tf·1000 + (1200·inner) DIV 1000   (milli of tf+k1·inner)
+    *   score  = Σ_t (N − df_t + 1) · ((tf·2 200 000) DIV denom)
+    *
+    * — monotone in tf with k1-saturation, length-normalized by b,
+    * anti-monotone in df, and bit-exact across engines (the DuckDB
+    * oracle states the same integer ops; no float-log ulps).
+    *
+    * Scale shape: tf touches only postings of the query's terms (the
+    * `isin` prune reaches the scan), the per-term df dimension is
+    * bounded by the QUERY length — broadcast is correct here, unlike a
+    * corpus-wide term dimension — and the global top-k is a
+    * TakeOrderedAndProject (per-partition heads merged at the driver,
+    * k rows), never a full sort. The rank window runs over k rows only.
+    *
+    * @return (id, score_milli, rank) — top `k` docs matching ≥1 term,
+    *         ties broken by id asc
+    */
+  def bm25Rank(df: org.apache.spark.sql.DataFrame, idCol: String,
+               textCol: String, terms: Seq[String],
+               k: Int = 10): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(terms.nonEmpty, "bm25Rank needs at least one query term")
+    val toks = filter(split(lower(col(textCol)), "[^a-z0-9_']+"),
+      t => length(t) > 0)
+    val docs = df.select(col(idCol), toks.as("tk"))
+    val dl = docs.select(col(idCol), size(col("tk")).cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      expr("sum(dl) DIV count(1)").as("avgdl"))
+    val tf = docs.select(col(idCol), explode(col("tk")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf
+      .join(broadcast(dfreq), "term") // ≤ |terms| rows by construction
+      .join(dl, idCol)
+      .crossJoin(broadcast(stats))
+      .withColumn("per_term", expr(
+        "(tf * 2200000) DIV (tf * 1000 + (1200 * (250 + (750 * dl) DIV avgdl)) DIV 1000)"))
+      .groupBy(col(idCol))
+      .agg(sum((col("n_docs") - col("df") + 1) * col("per_term"))
+        .as("score_milli"))
+    scored.orderBy(col("score_milli").desc, col(idCol).asc).limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score_milli").desc, col(idCol).asc)))
+  }
+
   /** Winnowing document fingerprint: rolling xxhash64 over `k`-token
     * windows, keep the minimum of every `w`-window (local minima), and
     * return the sorted distinct selected hashes. Robust to small edits

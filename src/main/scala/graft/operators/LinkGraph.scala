@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Link-graph analytics over the crawl's extracted-outlink table — the
+  * frontier-prioritization signals a web-scale scheduler feeds back into
+  * the priority queue. The reference scores a task only by its configured
+  * priority and fetch frequency (`crawler/taskfeeder.py` 96/freq+1 rule,
+  * rebuilt as [[graft.core.Model.priorityScore]]); a 10^10-URL frontier
+  * additionally wants the link structure itself — PageRank mass for
+  * schedule ordering and connected components for mirror/host-cluster
+  * collapsing. Both kernels here are pure DataFrame iteration: no driver
+  * graph state, no RDDs, each round a bounded number of key-partitioned
+  * joins/aggregates, so a 4× executor scale-up shards every step.
+  *
+  * Arithmetic is FIXED-POINT INTEGER (ranks in micro-units, damping in
+  * per-mille) so results are bit-exact across engines — the DuckDB
+  * oracle states the same iterations in SQL with integer division and
+  * the hashes must match exactly; no float summation-order ulps.
+  */
+object LinkGraph {
+
+  /** PageRank with damping over a directed (src, dst) edge table.
+    *
+    * Semantics (per iteration, all integer ops):
+    *   contrib(u→v) = rank(u) DIV outdeg(u)
+    *   rank'(v)     = scale·(1000−damping)/1000
+    *                  + (damping · Σ contrib(·→v)) DIV 1000
+    * Dangling vertices (no outlinks) simply leak their mass — the
+    * standard simplified formulation; deterministic and identical in the
+    * oracle. Vertices nobody links to hold the base mass.
+    *
+    * Scale shape at 10^10 edges: `outdeg` is computed ONCE and rides on
+    * the edge rows (one src-keyed aggregate + join, amortized across all
+    * iterations); each iteration is exactly one src-keyed equi-join
+    * (ranks are keyed by vertex, edges arrive hash-partitioned by src —
+    * the same partitioning every round, so the exchange is reused) and
+    * one dst-keyed partial-aggregated sum. Ranks are eagerly
+    * checkpointed per round so the logical plan stays O(1) nodes instead
+    * of growing with the iteration count (same rationale as
+    * [[Dedup.connectedMinLabels]]); `reliableCheckpoints=true` swaps the
+    * executor-local blocks for `checkpoint()` to the SparkContext's
+    * checkpoint dir — the lost-executor-safe path a real cluster run
+    * wants (caller must `sc.setCheckpointDir` first).
+    *
+    * @param vertices one-column frame of vertex ids (first column used)
+    * @param edges    (src, dst) long columns; parallel edges count twice
+    * @return (v, rank_micro) — rank in micro-units, Σ≈scale·|V| minus
+    *         dangling leakage
+    */
+  def pageRank(vertices: DataFrame, edges: DataFrame, iterations: Int,
+               dampingPermille: Long = 850L, scale: Long = 1000000L,
+               reliableCheckpoints: Boolean = false): DataFrame = {
+    require(iterations >= 0, s"iterations must be >= 0, got $iterations")
+    require(dampingPermille >= 0L && dampingPermille <= 1000L,
+      s"dampingPermille must be in [0,1000], got $dampingPermille")
+    val v = vertices.select(col(vertices.columns.head).cast("long").as("v"))
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"))
+    val ckpt: DataFrame => DataFrame =
+      if (reliableCheckpoints) { d =>
+        require(d.sparkSession.sparkContext.getCheckpointDir.isDefined,
+          "reliableCheckpoints=true requires sc.setCheckpointDir (a DFS path on a cluster)")
+        d.checkpoint(eager = true)
+      } else _.localCheckpoint(true)
+    // degree once, riding with the edges for every iteration
+    val eDeg = e.join(e.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
+      .persist()
+    val base = scale * (1000L - dampingPermille) / 1000L
+    var ranks = v.withColumn("rank_micro", lit(scale))
+    try {
+      (1 to iterations).foreach { _ =>
+        val contribs = eDeg
+          .join(ranks.withColumnRenamed("v", "src"), "src")
+          .select(col("dst"), expr("rank_micro DIV outdeg").as("c"))
+          .groupBy("dst").agg(sum(col("c")).as("s"))
+        ranks = ckpt(v.join(contribs, v("v") === contribs("dst"), "left")
+          .select(col("v"), (lit(base) +
+            expr(s"($dampingPermille * coalesce(s, CAST(0 AS BIGINT))) DIV 1000"))
+            .as("rank_micro")))
+      }
+      // materialize before the edge cache is released below
+      ranks.localCheckpoint(true)
+    } finally eDeg.unpersist()
+  }
+
+  /** Connected components over an undirected (id_a, id_b) pair graph —
+    * mirror-cluster / host-cluster collapse on the link graph. Thin
+    * facade over the pointer-halving min-label kernel (O(log diameter)
+    * rounds, see [[Dedup.connectedMinLabels]]). Returns (v, component)
+    * where `component` is the minimum vertex id of the component.
+    */
+  def components(vertices: DataFrame, pairs: DataFrame,
+                 reliableCheckpoints: Boolean = false): DataFrame =
+    Dedup.connectedMinLabels(vertices, pairs,
+        reliableCheckpoints = reliableCheckpoints)
+      .select(col("v"), col("label").as("component"))
+}

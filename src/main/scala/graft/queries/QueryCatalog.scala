@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{GraftFunctions, TextAnalysis}
-import graft.operators.{Curation, Dedup, Multimodal, Similarity, SitemapSource}
+import graft.operators.{Curation, Dedup, LinkGraph, Multimodal, Similarity, SitemapSource}
 
 /** The operator catalog exposed through SparkEntry: one query per
   * operator family from SURVEY.md §2 plus the training-data-pipeline
@@ -801,4 +801,53 @@ object QueryCatalog {
         .as("text"))
     Dedup.lineFrequencyDedup(synth, "doc_id", "text", maxDf = 5, minLen = 20)
   }
+
+  // ---------- link-graph analytics ----------
+
+  /** PageRank frontier priority ([[LinkGraph.pageRank]], 3 iterations,
+    * damping 0.85, micro-unit fixed point) over a deterministic
+    * synthetic outlink graph on the documents table: each doc links to
+    * the three docs at `(id·7 + 13j) mod N`, j∈{1,2,3} (kept only when
+    * the target exists, stated identically in the oracle). The oracle
+    * unrolls the three iterations in SQL with integer division — the
+    * ranks must match BIT-EXACTLY.
+    */
+  def qPagerank(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents").select(col("doc_id"))
+    val n = docs.agg((max(col("doc_id")) + 1).as("n"))
+    val edges = docs.crossJoin(broadcast(n))
+      .select(col("doc_id").as("src"), explode(array((1 to 3).map(j =>
+        (col("doc_id") * 7 + lit(13L * j)) % col("n")): _*)).as("dst"))
+      .join(docs.select(col("doc_id").as("dst")), Seq("dst"), "left_semi")
+    LinkGraph.pageRank(docs, edges, iterations = 3)
+      .select(col("v").as("doc_id"), col("rank_micro"))
+  }
+
+  /** Link-graph connected components ([[LinkGraph.components]] — the
+    * pointer-halving min-label kernel) over a deterministic undirected
+    * graph: 7-blocks star onto their block root, every third root
+    * bridged to the next (so components span multiple propagation hops
+    * and the halving path is exercised). Oracle: DuckDB recursive-CTE
+    * reachability closure + min label — an INDEPENDENT algorithm
+    * arriving at the same components.
+    */
+  def qComponents(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents").select(col("doc_id"))
+    val star = docs.filter(col("doc_id") % 7 =!= 0)
+      .select(col("doc_id").as("id_a"),
+        (col("doc_id") - col("doc_id") % 7).as("id_b"))
+    val m = docs.agg(max(col("doc_id")).as("m"))
+    val bridge = docs.crossJoin(broadcast(m))
+      .filter(col("doc_id") % 21 === 0 && col("doc_id") + 7 <= col("m"))
+      .select(col("doc_id").as("id_a"), (col("doc_id") + 7).as("id_b"))
+    LinkGraph.components(docs, star.unionByName(bridge))
+      .select(col("v").as("doc_id"), col("component"))
+  }
+
+  /** BM25 ranked retrieval ([[TextAnalysis.bm25Rank]]) for the query
+    * {spark, join, merge} — top 10 docs, integer milli-unit scores.
+    */
+  def qBm25Rank(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bm25Rank(t(spark, dir, "documents"), "doc_id", "text",
+      Seq("spark", "join", "merge"), k = 10)
 }
