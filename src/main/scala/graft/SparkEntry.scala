@@ -101,6 +101,7 @@ object SparkEntry {
     "q_pagerank" -> (qPagerank(_, _)),
     "q_components" -> (qComponents(_, _)),
     "q_bm25_rank" -> (qBm25Rank(_, _)),
+    "q_anchor_text" -> (qAnchorText(_, _)),
     // similarity search
     "q_cosine_topk" -> (qCosineTopK(_, _)),
     "q_ann_lsh" -> (qAnnLsh(_, _)),
@@ -793,6 +794,29 @@ object SparkEntry {
         | CAST(row_number() OVER (ORDER BY score_milli DESC, doc_id ASC) AS int)
         |  AS rank
         |FROM scored ORDER BY score_milli DESC, doc_id ASC LIMIT 10""".stripMargin,
+    // Anchor rollup: the oracle states the extracted links arithmetically
+    // (the Spark side goes through the real LinkExtractor path).
+    "q_anchor_text" ->
+      """WITH l AS (
+        | SELECT 'http://hub.test/p/' || (doc_id % 100) AS url,
+        |        'ref ' || (doc_id % 4) AS anchor
+        | FROM documents
+        | UNION ALL
+        | SELECT 'http://hub.test/q/' || (doc_id % 50) AS url,
+        |        'see also ' || (doc_id % 3) AS anchor
+        | FROM documents),
+        |ac AS (SELECT url, anchor, CAST(count(*) AS BIGINT) AS c
+        |       FROM l GROUP BY 1, 2),
+        |ranked AS (
+        | SELECT url, anchor, c,
+        |  row_number() OVER (PARTITION BY url ORDER BY c DESC, anchor ASC) AS rn,
+        |  sum(c) OVER (PARTITION BY url) AS n_links,
+        |  count(*) OVER (PARTITION BY url) AS n_anchors
+        | FROM ac)
+        |SELECT url, CAST(n_links AS BIGINT) AS n_links,
+        | CAST(n_anchors AS BIGINT) AS n_anchors,
+        | anchor AS top_anchor, c AS top_count
+        |FROM ranked WHERE rn = 1""".stripMargin,
     "q_crawl_frequency_gate" ->
       """SELECT o_orderkey,
         | CAST(datediff('day', o_orderdate, DATE '1995-06-17') AS int) AS age_days,

@@ -85,6 +85,37 @@ object LinkGraph {
     } finally eDeg.unpersist()
   }
 
+  /** Anchor-text aggregation: per LINK TARGET, the inbound-link count,
+    * distinct anchor-text count, and the top-`k` anchors by frequency
+    * (ties by anchor asc — deterministic). The classic crawl→index
+    * signal: anchor text is how the web describes a page, and search /
+    * training pipelines attach it to the TARGET document (the reference
+    * extracts per-page links+titles in its connectors,
+    * `crawler/connectors/htmlconnector.py:58-152`, but never aggregates
+    * them; this is the table-side rollup that step feeds at scale).
+    *
+    * Scale shape: one (url, anchor) aggregate (map-side partial combine
+    * collapses the heavy repetition — most anchors repeat verbatim),
+    * then per-url windows over DISTINCT anchors only (≪ inbound links;
+    * a mega-hub with millions of inlinks usually carries thousands of
+    * distinct anchors). Both steps shuffle on `url` once — the window
+    * reuses the aggregate's partitioning.
+    *
+    * @param links (url, anchor) rows, one per extracted link
+    * @return (url, anchor, c, rank, n_links, n_anchors) with rank ≤ k
+    */
+  def anchorText(links: DataFrame, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ac = links.groupBy(col("url"), col("anchor"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("url")
+    ac.withColumn("rank", row_number().over(
+        w.orderBy(col("c").desc, col("anchor").asc)))
+      .withColumn("n_links", sum(col("c")).over(w))
+      .withColumn("n_anchors", count(lit(1)).over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Connected components over an undirected (id_a, id_b) pair graph —
     * mirror-cluster / host-cluster collapse on the link graph. Thin
     * facade over the pointer-halving min-label kernel (O(log diameter)

@@ -850,4 +850,29 @@ object QueryCatalog {
   def qBm25Rank(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.bm25Rank(t(spark, dir, "documents"), "doc_id", "text",
       Seq("spark", "join", "merge"), k = 10)
+
+  /** Anchor-text rollup ([[LinkGraph.anchorText]], top-1) over links
+    * extracted by the REAL extraction path ([[graft.core.LinkExtractor]]
+    * — href resolution + anchor-title rendering) from deterministic
+    * synthetic pages: doc i links to hub page `p/(i mod 100)` with
+    * anchor `ref (i mod 4)` and to `q/(i mod 50)` with anchor
+    * `see also (i mod 3)`, so targets collect colliding anchors with
+    * non-trivial counts. The oracle states the same links
+    * arithmetically.
+    */
+  def qAnchorText(spark: SparkSession, dir: String): DataFrame = {
+    val linksUdf = udf { (docId: Long) =>
+      val html =
+        s"""<html><body><a href="http://hub.test/p/${docId % 100}">ref ${docId % 4}</a>""" +
+          s"""<a href="http://hub.test/q/${docId % 50}">see also ${docId % 3}</a></body></html>"""
+      graft.core.LinkExtractor.extractLinks(html, "http://hub.test/base.html")
+        .map(l => (l.url, l.title.getOrElse("")))
+    }
+    val links = t(spark, dir, "documents")
+      .select(explode(linksUdf(col("doc_id"))).as("l"))
+      .select(col("l._1").as("url"), col("l._2").as("anchor"))
+    LinkGraph.anchorText(links, k = 1)
+      .select(col("url"), col("n_links"), col("n_anchors"),
+        col("anchor").as("top_anchor"), col("c").as("top_count"))
+  }
 }

@@ -69,6 +69,25 @@ class LinkGraphSpec extends AnyFunSuite {
     assert(got(30L) === 30L && got(31L) === 31L)
   }
 
+  test("anchorText: counts, distinct anchors, deterministic top-k ties") {
+    val links = Seq(
+      ("u1", "click"), ("u1", "click"), ("u1", "home"), ("u1", "about"),
+      ("u2", "a"), ("u2", "b"), // tie at c=1 -> anchor asc wins
+      ("u3", "solo")
+    ).toDF("url", "anchor")
+    val top1 = LinkGraph.anchorText(links, k = 1)
+      .collect().map(r => r.getAs[String]("url") ->
+        ((r.getAs[String]("anchor"), r.getAs[Long]("c"),
+          r.getAs[Long]("n_links"), r.getAs[Long]("n_anchors")))).toMap
+    assert(top1("u1") === (("click", 2L, 4L, 3L)))
+    assert(top1("u2") === (("a", 1L, 2L, 2L)))
+    assert(top1("u3") === (("solo", 1L, 1L, 1L)))
+    val top2 = LinkGraph.anchorText(links, k = 2)
+    assert(top2.filter(col("url") === "u1").count() === 2)
+    assert(top2.filter(col("url") === "u1" && col("rank") === 2)
+      .head().getAs[String]("anchor") === "about")
+  }
+
   test("bm25Rank agrees with an independent plain-Scala evaluation") {
     val docs = Seq(
       (1L, "spark join"),
