@@ -57,6 +57,27 @@ class LinkGraphSpec extends AnyFunSuite {
     assert(total === 10L * 1000000L)
   }
 
+  test("pageRank: reliable-checkpoint path matches localCheckpoint") {
+    // the cluster seam: checkpoint() to the context's checkpoint dir
+    // (lost-executor-safe) instead of executor-local blocks — results
+    // must be identical (and a loud require fires when no dir is set)
+    val vertices = Seq(0L, 1L, 2L).toDF("v")
+    val edges = Seq((0L, 1L), (0L, 2L), (1L, 2L), (2L, 0L)).toDF("src", "dst")
+    if (spark.sparkContext.getCheckpointDir.isEmpty) {
+      intercept[IllegalArgumentException] {
+        LinkGraph.pageRank(vertices, edges, 2, reliableCheckpoints = true)
+      }
+      spark.sparkContext.setCheckpointDir(
+        java.nio.file.Files.createTempDirectory("graft-pr-ckpt-").toString)
+    }
+    val local = LinkGraph.pageRank(vertices, edges, iterations = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val reliable = LinkGraph.pageRank(vertices, edges, iterations = 2,
+        reliableCheckpoints = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reliable === local)
+  }
+
   test("components: chain, star, isolated vertices resolve to min labels") {
     // chain 0-..-8 (diameter 8), star 20-{21,22}, isolates 30,31
     val chain = (0L until 8L).map(i => (i, i + 1))
