@@ -102,6 +102,7 @@ object SparkEntry {
     "q_components" -> (qComponents(_, _)),
     "q_bm25_rank" -> (qBm25Rank(_, _)),
     "q_anchor_text" -> (qAnchorText(_, _)),
+    "q_lm_familiarity" -> (qLmFamiliarity(_, _)),
     // similarity search
     "q_cosine_topk" -> (qCosineTopK(_, _)),
     "q_ann_lsh" -> (qAnnLsh(_, _)),
@@ -817,6 +818,27 @@ object SparkEntry {
         | CAST(n_anchors AS BIGINT) AS n_anchors,
         | anchor AS top_anchor, c AS top_count
         |FROM ranked WHERE rn = 1""".stripMargin,
+    // LM-familiarity: floor(log2(count)) stated exactly as
+    // length(bin(count)) - 1 in both engines (no float log ulps).
+    "q_lm_familiarity" ->
+      """WITH toks AS (
+        | SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+        |   '[^a-z0-9_'']+'), x -> length(x) > 0) AS tk
+        | FROM documents),
+        |bg AS (
+        | SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+        |   i -> tk[i] || ' ' || tk[i+1])) AS bg
+        | FROM toks WHERE len(tk) >= 2),
+        |c AS (SELECT bg, CAST(count(*) AS BIGINT) AS c FROM bg GROUP BY 1),
+        |pd AS (
+        | SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  CAST(sum(length(bin(c.c)) - 1) AS BIGINT) AS ilog_sum
+        | FROM bg JOIN c USING (bg) GROUP BY 1)
+        |SELECT d.doc_id,
+        | coalesce(pd.n_bigrams, 0) AS n_bigrams,
+        | coalesce(pd.ilog_sum, 0) AS ilog_sum,
+        | coalesce((1000 * pd.ilog_sum) // pd.n_bigrams, 0) AS familiarity_milli
+        |FROM documents d LEFT JOIN pd USING (doc_id)""".stripMargin,
     "q_crawl_frequency_gate" ->
       """SELECT o_orderkey,
         | CAST(datediff('day', o_orderdate, DATE '1995-06-17') AS int) AS age_days,

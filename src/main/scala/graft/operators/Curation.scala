@@ -62,4 +62,58 @@ object Curation {
       .select(col(idCol), col(sourceCol), col("source_score_sum"),
         col("source_n_docs"), col("source_blocked"))
   }
+
+  /** Corpus-conditioned LM-familiarity score — the integer-exact
+    * surrogate of the CCNet/RefinedWeb "filter by language-model
+    * perplexity" stage (Wenzek et al. 2020 score documents under a
+    * KenLM model; the pipeline keeps the familiar ones). The "model"
+    * here is the corpus's OWN token-bigram counts, and the per-
+    * occurrence log-probability surrogate is `floor(log2(count))` —
+    * computed EXACTLY as `length(bin(count)) - 1`, no float log whose
+    * ulps could flip a score at a power of two. A document full of
+    * bigrams the corpus has seen often scores high; gibberish,
+    * boilerplate-mangled or out-of-domain text scores low — the same
+    * ordering a real LM filter induces, in arithmetic a SQL oracle
+    * states verbatim.
+    *
+    *   familiarity_milli = (1000 · Σ_occurrences ilog2(c(bigram)))
+    *                       DIV n_bigrams          (0 when no bigrams)
+    *
+    * Scale shape at 10^10 docs: one bigram-keyed count aggregate
+    * (map-side combine collapses the Zipf head early), one
+    * bigram-keyed shuffle join back to the occurrences — the bigram
+    * dimension is UNBOUNDED on web text, so it is never hinted
+    * broadcast (same reasoning as [[TextAnalysis.topTerms]]) — and a
+    * per-doc aggregate. Bigrams are stated relationally (posexplode +
+    * window lead), never as an array lambda over another column.
+    *
+    * @return one row per doc: (idCol, n_bigrams, ilog_sum,
+    *         familiarity_milli)
+    */
+  def familiarityScore(df: DataFrame, idCol: String,
+                       textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = filter(split(lower(col(textCol)), "[^a-z0-9_']+"),
+      t => length(t) > 0)
+    val w = Window.partitionBy("doc_id_").orderBy("pos")
+    val bgs = df.select(col(idCol).as("doc_id_"), toks.as("tk"))
+      .filter(size(col("tk")) >= 2)
+      .select(col("doc_id_"), posexplode(col("tk")).as(Seq("pos", "tok")))
+      .select(col("doc_id_"), col("tok"),
+        lead(col("tok"), 1).over(w).as("nxt"))
+      .filter(col("nxt").isNotNull)
+      .select(col("doc_id_"), concat_ws(" ", col("tok"), col("nxt")).as("bg"))
+    val counts = bgs.groupBy(col("bg")).agg(count(lit(1)).as("c"))
+    val perDoc = bgs.join(counts, "bg")
+      .select(col("doc_id_"), (length(bin(col("c"))) - 1).cast("long").as("ilog"))
+      .groupBy(col("doc_id_"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("ilog")).as("ilog_sum"))
+      .withColumn("familiarity_milli", expr("(1000 * ilog_sum) DIV n_bigrams"))
+    df.select(col(idCol).as("doc_id_"))
+      .join(perDoc, Seq("doc_id_"), "left")
+      .select(col("doc_id_").as(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("ilog_sum"), lit(0L)).as("ilog_sum"),
+        coalesce(col("familiarity_milli"), lit(0L)).as("familiarity_milli"))
+  }
 }

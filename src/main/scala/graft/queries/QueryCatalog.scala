@@ -860,6 +860,13 @@ object QueryCatalog {
     * non-trivial counts. The oracle states the same links
     * arithmetically.
     */
+  /** Corpus-conditioned LM-familiarity (perplexity-filter surrogate,
+    * [[Curation.familiarityScore]]): per-doc mean floor-log2 of the
+    * corpus count of each token-bigram occurrence, exact integers.
+    */
+  def qLmFamiliarity(spark: SparkSession, dir: String): DataFrame =
+    Curation.familiarityScore(t(spark, dir, "documents"), "doc_id", "text")
+
   def qAnchorText(spark: SparkSession, dir: String): DataFrame = {
     val linksUdf = udf { (docId: Long) =>
       val html =

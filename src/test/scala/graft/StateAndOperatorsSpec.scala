@@ -264,4 +264,25 @@ class StateAndOperatorsSpec extends AnyFunSuite {
     assert(out(3L) === ((-3L, 2L, true)) && out(4L) === ((-3L, 2L, true)))
     assert(out(5L) === ((0L, 1L, false))) // zero is not blocked
   }
+
+  test("familiarityScore: repeated bigrams score high, rare text low, tiny docs zero") {
+    import spark.implicits._
+    // "common phrase" occurs in docs 1-4 (8 occurrences of each of its
+    // bigrams); doc 5 is all-unique bigrams (count 1 -> ilog 0)
+    val docs = (1L to 4L).map(i => (i, "the common phrase the common phrase")) ++
+      Seq((5L, "zq xv wk yj"), (6L, "solo"))
+    val out = graft.operators.Curation
+      .familiarityScore(docs.toDF("doc_id", "text"), "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // doc 1: bigrams = [the common]x2, [common phrase]x2, [phrase the]x1
+    //   corpus counts: the common=8, common phrase=8, phrase the=4
+    //   ilogs: 3,3,3,3,2 -> sum 14, n=5 -> 14000/5 = 2800
+    assert(out(1L) === ((5L, 14L, 2800L)))
+    assert(out(4L) === out(1L))
+    assert(out(5L) === ((3L, 0L, 0L))) // three unseen bigrams, ilog2(1)=0
+    assert(out(6L) === ((0L, 0L, 0L))) // single token: no bigrams
+    assert(out(1L)._3 > out(5L)._3, "familiar text must outscore gibberish")
+  }
 }
