@@ -103,6 +103,7 @@ object SparkEntry {
     "q_bm25_rank" -> (qBm25Rank(_, _)),
     "q_anchor_text" -> (qAnchorText(_, _)),
     "q_lm_familiarity" -> (qLmFamiliarity(_, _)),
+    "q_token_budget" -> (qTokenBudget(_, _)),
     // similarity search
     "q_cosine_topk" -> (qCosineTopK(_, _)),
     "q_ann_lsh" -> (qAnnLsh(_, _)),
@@ -839,6 +840,24 @@ object SparkEntry {
         | coalesce(pd.ilog_sum, 0) AS ilog_sum,
         | coalesce((1000 * pd.ilog_sum) // pd.n_bigrams, 0) AS familiarity_milli
         |FROM documents d LEFT JOIN pd USING (doc_id)""".stripMargin,
+    // Token-budget selection: the oracle is the INDEPENDENT single
+    // global-cumsum formulation of the same greedy prefix.
+    "q_token_budget" ->
+      """WITH base AS (
+        | SELECT doc_id,
+        |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |   ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT)
+        |   AS n_tokens,
+        |  CAST((doc_id * 37) % 100 AS BIGINT) AS score
+        | FROM documents),
+        |b AS (SELECT (sum(n_tokens) * 45) // 100 AS budget FROM base),
+        |r AS (
+        | SELECT doc_id, score, n_tokens,
+        |  sum(n_tokens) OVER (ORDER BY score DESC, doc_id ASC
+        |    ROWS UNBOUNDED PRECEDING) AS run
+        | FROM base)
+        |SELECT doc_id, score, n_tokens
+        |FROM r CROSS JOIN b WHERE run <= b.budget""".stripMargin,
     "q_crawl_frequency_gate" ->
       """SELECT o_orderkey,
         | CAST(datediff('day', o_orderdate, DATE '1995-06-17') AS int) AS age_days,

@@ -63,6 +63,56 @@ object Curation {
         col("source_n_docs"), col("source_blocked"))
   }
 
+  /** Greedy token-budget corpus assembly: keep documents in
+    * (score desc, id asc) order until the cumulative token count would
+    * exceed `budget` — the final selection step of a training-data
+    * pipeline once per-document quality is known ("best N tokens").
+    * Exactly the global greedy prefix, computed WITHOUT a global
+    * ordered cumulative sum (a single-partition window at 10^10 docs):
+    *
+    *  1. per-SCORE token totals (bounded dimension: quality scores are
+    *     integer-valued by construction in this engine) + a cumulative
+    *     sum over that small dimension → every score strictly above
+    *     the boundary is kept wholesale, no per-doc ordering touched;
+    *  2. only the single BOUNDARY score's docs get an ordered
+    *     per-doc cumulative sum (one score's worth of rows, windowed
+    *     within that score), tie-broken by id asc.
+    *
+    * The oracle states the same selection as ONE global window cumsum
+    * — an independent formulation arriving at the same rows.
+    *
+    * Scale shape: one score-keyed aggregate, one window over the
+    * score DIMENSION (small by construction — this is the documented
+    * bounded-cardinality exception to the no-global-window rule), one
+    * score-keyed join back, and a window over one score's partition.
+    *
+    * @return kept rows only: (idCol, score, n_tokens)
+    */
+  def tokenBudgetSelect(df: DataFrame, idCol: String, tokens: Column,
+                        score: Column, budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(idCol), tokens.cast("long").as("n_tokens"),
+      score.cast("long").as("score"))
+    val wS = Window.orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = base.groupBy(col("score"))
+      .agg(sum(col("n_tokens")).as("bucket_tokens"))
+      .withColumn("cum_total", sum(col("bucket_tokens")).over(wS))
+      .withColumn("cum_before", col("cum_total") - col("bucket_tokens"))
+      .drop("bucket_tokens")
+    val joined = base.join(cum, "score")
+    val full = joined.filter(col("cum_total") <= budget)
+    val wB = Window.partitionBy(col("score")).orderBy(col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val boundary = joined
+      .filter(col("cum_before") <= budget && col("cum_total") > budget)
+      .withColumn("cum_in", sum(col("n_tokens")).over(wB))
+      .filter(col("cum_before") + col("cum_in") <= budget)
+      .drop("cum_in")
+    full.unionByName(boundary)
+      .select(col(idCol), col("score"), col("n_tokens"))
+  }
+
   /** Corpus-conditioned LM-familiarity score — the integer-exact
     * surrogate of the CCNet/RefinedWeb "filter by language-model
     * perplexity" stage (Wenzek et al. 2020 score documents under a

@@ -867,6 +867,22 @@ object QueryCatalog {
   def qLmFamiliarity(spark: SparkSession, dir: String): DataFrame =
     Curation.familiarityScore(t(spark, dir, "documents"), "doc_id", "text")
 
+  /** Greedy token-budget selection ([[Curation.tokenBudgetSelect]]):
+    * best 45% of corpus tokens by a deterministic pseudo-quality score
+    * `(doc_id·37) mod 100` (ties are common, so the boundary-bucket
+    * tie-break path is exercised). The budget is a 1-row driver scalar
+    * (like the IVF centroid collect — k×1 values, not data); the
+    * oracle states the same selection as ONE global window cumsum, an
+    * independent formulation.
+    */
+  def qTokenBudget(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val tokens = TextAnalysis.tokenCount(col("text"))
+    val budget = docs.agg(sum(tokens.cast("long"))).head().getLong(0) * 45L / 100L
+    Curation.tokenBudgetSelect(docs, "doc_id", tokens,
+      (col("doc_id") * 37) % 100, budget)
+  }
+
   def qAnchorText(spark: SparkSession, dir: String): DataFrame = {
     val linksUdf = udf { (docId: Long) =>
       val html =

@@ -265,6 +265,29 @@ class StateAndOperatorsSpec extends AnyFunSuite {
     assert(out(5L) === ((0L, 1L, false))) // zero is not blocked
   }
 
+  test("tokenBudgetSelect equals the flat greedy prefix; budget edges hold") {
+    import spark.implicits._
+    // many score ties -> the boundary-bucket tie-break path runs
+    val rows = (1L to 60L).map(i => (i, 10L + i % 7, (i * 3) % 5))
+    val df = rows.toDF("doc_id", "n_toks", "sc")
+    def run(budget: Long): Set[Long] = graft.operators.Curation
+      .tokenBudgetSelect(df, "doc_id", col("n_toks"), col("sc"), budget)
+      .collect().map(_.getLong(0)).toSet
+    // independent flat formulation: one global (score desc, id asc) scan
+    def flat(budget: Long): Set[Long] = {
+      var acc = 0L
+      rows.sortBy { case (id, _, sc) => (-sc, id) }.flatMap {
+        case (id, nt, _) =>
+          acc += nt; if (acc <= budget) Some(id) else None
+      }.toSet
+    }
+    val total = rows.map(_._2).sum
+    for (b <- Seq(0L, 7L, total / 3, total / 2, total - 1, total, total + 10))
+      assert(run(b) === flat(b), s"budget $b")
+    assert(run(0L) === Set.empty[Long])
+    assert(run(total) === rows.map(_._1).toSet)
+  }
+
   test("familiarityScore: repeated bigrams score high, rare text low, tiny docs zero") {
     import spark.implicits._
     // "common phrase" occurs in docs 1-4 (8 occurrences of each of its
