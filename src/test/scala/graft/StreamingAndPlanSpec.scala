@@ -454,4 +454,59 @@ class StreamingAndPlanSpec extends AnyFunSuite {
       nodes.collect { case b: BroadcastNestedLoopJoinExec => b }.isEmpty,
       "the pair stage must join on the cluster id, not cross the corpus")
   }
+
+  test("familiarityScore never hints broadcast on the unbounded bigram dimension") {
+    // same discipline as topTerms: with auto-broadcast off, any
+    // BroadcastExchange in the plan could only come from a hint — and
+    // the per-distinct-bigram count dimension is unbounded on web text
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeLike
+    withAutoBroadcastOff {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val out = graft.operators.Curation
+        .familiarityScore(docs, "doc_id", "text")
+      assert(out.count() > 0)
+      assert(planNodes(out.queryExecution.executedPlan)
+        .collect { case b: BroadcastExchangeLike => b }.isEmpty,
+        "bigram count dimension must reach its join as a shuffle")
+    }
+  }
+
+  test("bm25Rank plan: only query-bounded dims broadcast; top-k is TakeOrdered") {
+    import org.apache.spark.sql.execution.TakeOrderedAndProjectExec
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeLike
+    withAutoBroadcastOff {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val out = graft.functions.TextAnalysis.bm25Rank(
+        docs, "doc_id", "text", Seq("spark", "join", "merge"), k = 10)
+      assert(out.count() > 0)
+      val nodes = planNodes(out.queryExecution.executedPlan)
+      val broadcasts = nodes.collect { case b: BroadcastExchangeLike => b }
+      // exactly the two bounded dims: per-query-term df (≤ |terms|
+      // rows) and the 1-row corpus stats — never the postings side
+      assert(broadcasts.size === 2,
+        s"got: ${broadcasts.map(_.output.map(_.name))}")
+      assert(broadcasts.forall(_.output.map(_.name).toSet
+        .subsetOf(Set("term", "df", "n_docs", "avgdl"))),
+        "only the query-bounded dimensions may broadcast")
+      assert(nodes.exists(_.isInstanceOf[TakeOrderedAndProjectExec]),
+        "global top-k must be TakeOrderedAndProject, not a full sort")
+    }
+  }
+
+  private def withAutoBroadcastOff[T](body: => T): T = {
+    val prevStatic = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try body finally {
+      prevStatic match {
+        case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+        case None => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      }
+      prevAqe match {
+        case Some(v) => spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", v)
+        case None => spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      }
+    }
+  }
 }
