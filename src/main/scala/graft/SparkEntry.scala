@@ -104,6 +104,7 @@ object SparkEntry {
     "q_anchor_text" -> (qAnchorText(_, _)),
     "q_lm_familiarity" -> (qLmFamiliarity(_, _)),
     "q_token_budget" -> (qTokenBudget(_, _)),
+    "q_robots_sitemaps" -> (qRobotsSitemaps(_, _)),
     // similarity search
     "q_cosine_topk" -> (qCosineTopK(_, _)),
     "q_ann_lsh" -> (qAnnLsh(_, _)),
@@ -858,6 +859,20 @@ object SparkEntry {
         | FROM base)
         |SELECT doc_id, score, n_tokens
         |FROM r CROSS JOIN b WHERE run <= b.budget""".stripMargin,
+    // Robots sitemap discovery: the oracle states the advertised
+    // sitemap URLs arithmetically (the Spark side extracts them from
+    // synthesized robots.txt bytes through the real line parser).
+    "q_robots_sitemaps" ->
+      """WITH r AS (
+        | SELECT source || '.test' AS host,
+        |  'http://' || source || '.test/sitemap-' || (doc_id % 3) || '.xml'
+        |   AS sitemap_url
+        | FROM documents
+        | UNION ALL
+        | SELECT source || '.test' AS host,
+        |  'http://' || source || '.test/news.xml' AS sitemap_url
+        | FROM documents WHERE doc_id % 5 = 0)
+        |SELECT host, sitemap_url FROM r""".stripMargin,
     "q_crawl_frequency_gate" ->
       """SELECT o_orderkey,
         | CAST(datediff('day', o_orderdate, DATE '1995-06-17') AS int) AS age_days,

@@ -47,6 +47,27 @@ object RobotsLoader {
         col("r._3").as("robotsDelayMs"))
   }
 
+  /** Sitemap discovery from robots.txt — the `Sitemap:` directive
+    * (sitemaps.org protocol; RFC 9309 carries it as an "other record").
+    * One row per advertised sitemap URL, (host, sitemap_url); this is
+    * the discovery loop that seeds [[SitemapSource]] straight from the
+    * in-table robots subset, no side channel. Pure Catalyst: decode →
+    * line split → case-insensitive key match → value extract, all
+    * codegen'd, so a SQL oracle states it verbatim. Key matching is
+    * case-insensitive and tolerates surrounding whitespace per the
+    * protocol; blank values drop.
+    */
+  def sitemapUrls(pagesInput: DataFrame): DataFrame =
+    pagesInput
+      .filter(col("url").endsWith("/robots.txt"))
+      .select(graft.functions.GraftFunctions.hostOfUdf(col("url")).as("host"),
+        explode(split(decode(col("html"), "UTF-8"), "\r?\n")).as("line"))
+      .filter(col("line").rlike("(?i)^\\s*sitemap\\s*:"))
+      .select(col("host"),
+        trim(regexp_replace(col("line"), "(?i)^\\s*sitemap\\s*:\\s*", ""))
+          .as("sitemap_url"))
+      .filter(length(col("sitemap_url")) > 0)
+
   /** Driver-side variant kept for small/test configs (explicit rule
     * lists); production paths use [[robotsDim]].
     */

@@ -883,6 +883,29 @@ object QueryCatalog {
       (col("doc_id") * 37) % 100, budget)
   }
 
+  /** Robots-advertised sitemap discovery
+    * ([[graft.operators.RobotsLoader.sitemapUrls]]): synthetic
+    * robots.txt pages (one per doc, keyed by source host) carry one
+    * `Sitemap:` line each plus a lowercase `sitemap:` line on every
+    * fifth doc (exercising case-insensitive key matching); rule lines
+    * must be ignored. The oracle states the advertised URLs
+    * arithmetically.
+    */
+  def qRobotsSitemaps(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val robotsTxt = concat(
+      lit("User-agent: *\nDisallow: /private\n"),
+      lit("Sitemap: http://"), col("source"), lit(".test/sitemap-"),
+      (col("doc_id") % 3).cast("string"), lit(".xml\n"),
+      when(col("doc_id") % 5 === 0,
+        concat(lit("sitemap: http://"), col("source"), lit(".test/news.xml\n")))
+        .otherwise(lit("")))
+    val pages = docs.select(
+      concat(lit("http://"), col("source"), lit(".test/robots.txt")).as("url"),
+      encode(robotsTxt, "UTF-8").as("html"))
+    graft.operators.RobotsLoader.sitemapUrls(pages)
+  }
+
   def qAnchorText(spark: SparkSession, dir: String): DataFrame = {
     val linksUdf = udf { (docId: Long) =>
       val html =

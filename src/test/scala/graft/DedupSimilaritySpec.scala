@@ -124,11 +124,16 @@ class DedupSimilaritySpec extends AnyFunSuite {
     // identical labels, and a loud require when no dir is set
     val vertices = Seq(1L, 2L, 4L, 5L, 7L, 9L).toDF("v")
     val pairs = Seq((2L, 9L), (1L, 9L), (4L, 5L)).toDF("id_a", "id_b")
-    intercept[IllegalArgumentException] {
-      Dedup.connectedMinLabels(vertices, pairs, reliableCheckpoints = true)
+    // the checkpoint dir is JVM-global (one SparkContext across
+    // suites); only assert the loud require when no other suite has
+    // set it yet
+    if (spark.sparkContext.getCheckpointDir.isEmpty) {
+      intercept[IllegalArgumentException] {
+        Dedup.connectedMinLabels(vertices, pairs, reliableCheckpoints = true)
+      }
+      spark.sparkContext.setCheckpointDir(
+        java.nio.file.Files.createTempDirectory("graft-ckpt-").toString)
     }
-    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-").toString
-    spark.sparkContext.setCheckpointDir(dir)
     val reliable = Dedup.connectedMinLabels(vertices, pairs,
         reliableCheckpoints = true)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -199,4 +199,22 @@ class SourcesAndSinksSpec extends AnyFunSuite {
     assert(SitemapSource.parseSitemap("<<<garbage", "http://s.test/x") === Seq())
     assert(SitemapSource.parseSitemap("", "http://s.test/x") === Seq())
   }
+
+  test("robots sitemap discovery: CRLF, mixed case, whitespace, non-robots rows ignored") {
+    val robots = "User-agent: *\r\nDisallow: /x\r\n" +
+      "  SiTeMaP:   http://a.test/s1.xml  \r\n" +
+      "sitemap:http://a.test/s2.xml\r\n" +
+      "Sitemap:\r\n" + // blank value -> dropped
+      "NotASitemap: http://a.test/no.xml\r\n"
+    val pages = Seq(
+      ("http://a.test/robots.txt", robots.getBytes("UTF-8")),
+      ("http://b.test/robots.txt", "User-agent: *\nAllow: /\n".getBytes("UTF-8")),
+      ("http://a.test/page.html", "Sitemap: http://a.test/fake.xml".getBytes("UTF-8"))
+    ).toDF("url", "html")
+    val got = graft.operators.RobotsLoader.sitemapUrls(pages)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got === Set(
+      "a.test" -> "http://a.test/s1.xml",
+      "a.test" -> "http://a.test/s2.xml"))
+  }
 }
