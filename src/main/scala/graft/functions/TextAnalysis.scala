@@ -441,11 +441,14 @@ object TextAnalysis {
     * oracle states the same integer ops; no float-log ulps).
     *
     * Scale shape: tf touches only postings of the query's terms (the
-    * `isin` prune reaches the scan), the per-term df dimension is
-    * bounded by the QUERY length — broadcast is correct here, unlike a
-    * corpus-wide term dimension — and the global top-k is a
-    * TakeOrderedAndProject (per-partition heads merged at the driver,
-    * k rows), never a full sort. The rank window runs over k rows only.
+    * `isin` prune reaches the scan) and carries each doc's length
+    * through the aggregate (no separate id-keyed dl join); the per-term
+    * df dimension is bounded by the QUERY length — broadcast is correct
+    * here, unlike a corpus-wide term dimension; corpus stats (n_docs,
+    * avgdl) are a 1-row aggregate a real deployment precomputes at
+    * index time; and the global top-k is a TakeOrderedAndProject
+    * (per-partition heads merged at the driver, k rows), never a full
+    * sort. The rank window runs over k rows only.
     *
     * @return (id, score_milli, rank) — top `k` docs matching ≥1 term,
     *         ties broken by id asc
@@ -458,16 +461,19 @@ object TextAnalysis {
     val toks = filter(split(lower(col(textCol)), "[^a-z0-9_']+"),
       t => length(t) > 0)
     val docs = df.select(col(idCol), toks.as("tk"))
-    val dl = docs.select(col(idCol), size(col("tk")).cast("long").as("dl"))
-    val stats = dl.agg(count(lit(1)).as("n_docs"),
-      expr("sum(dl) DIV count(1)").as("avgdl"))
-    val tf = docs.select(col(idCol), explode(col("tk")).as("term"))
+    val stats = docs.select(size(col("tk")).cast("long").as("dl"))
+      .agg(count(lit(1)).as("n_docs"),
+        expr("sum(dl) DIV count(1)").as("avgdl"))
+    // dl rides the tf aggregate (constant per doc, max is exact) — no
+    // separate id-keyed dl join, one fewer shuffle and tokenize pass
+    val tf = docs.select(col(idCol), size(col("tk")).cast("long").as("dl"),
+        explode(col("tk")).as("term"))
       .filter(col("term").isin(terms: _*))
-      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val scored = tf
       .join(broadcast(dfreq), "term") // ≤ |terms| rows by construction
-      .join(dl, idCol)
       .crossJoin(broadcast(stats))
       .withColumn("per_term", expr(
         "(tf * 2200000) DIV (tf * 1000 + (1200 * (250 + (750 * dl) DIV avgdl)) DIV 1000)"))
