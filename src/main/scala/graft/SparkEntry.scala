@@ -105,6 +105,7 @@ object SparkEntry {
     "q_lm_familiarity" -> (qLmFamiliarity(_, _)),
     "q_token_budget" -> (qTokenBudget(_, _)),
     "q_robots_sitemaps" -> (qRobotsSitemaps(_, _)),
+    "q_dup_clusters" -> (qDupClusters(_, _)),
     // similarity search
     "q_cosine_topk" -> (qCosineTopK(_, _)),
     "q_ann_lsh" -> (qAnnLsh(_, _)),
@@ -1035,6 +1036,25 @@ object SparkEntry {
       """SELECT CAST(count(*) AS bigint) AS n_kept FROM documents
         |WHERE doc_id NOT IN
         |  (SELECT id_b FROM pairs_est WHERE est_jaccard >= 0.5)""".stripMargin),
+    // transitive clusters: components of the pair graph computed by the
+    // INDEPENDENT recursive-closure algorithm (nested WITH RECURSIVE
+    // over the shared pairs_est CTE); singletons label themselves
+    "q_dup_clusters" -> minhashPairsOracle(
+      """SELECT d.doc_id, coalesce(r.cluster, d.doc_id) AS cluster
+        |FROM documents d LEFT JOIN (
+        | WITH RECURSIVE
+        | e AS (SELECT id_a AS a, id_b AS b FROM pairs_est
+        |        WHERE est_jaccard >= 0.5
+        |       UNION
+        |       SELECT id_b AS a, id_a AS b FROM pairs_est
+        |        WHERE est_jaccard >= 0.5),
+        | v AS (SELECT DISTINCT a FROM e),
+        | reach(a, b) AS (
+        |  SELECT a, a FROM v
+        |  UNION
+        |  SELECT rr.a, e.b FROM reach rr JOIN e ON e.a = rr.b)
+        | SELECT a AS doc_id, min(b) AS cluster FROM reach GROUP BY 1
+        |) r USING (doc_id)""".stripMargin),
     "q_simhash_pairs" ->
       """WITH toks AS (
         | SELECT doc_id,

@@ -581,6 +581,34 @@ object QueryCatalog {
       .groupBy().agg(count(lit(1)).as("n_kept"))
   }
 
+  /** Transitive near-dup CLUSTER IDS: the full shingle → MinHash →
+    * LSH-band → connected-components composition, oracle-checked end
+    * to end (the oracle reuses the portable-MinHash CTE and computes
+    * components by the INDEPENDENT recursive-closure algorithm).
+    * Docs in no pair are their own singleton cluster. The pair table
+    * is checkpointed once — it feeds both the vertex set and the CC
+    * edge iteration (same seam as semDedup's assignment table).
+    */
+  def qDupClusters(spark: SparkSession, dir: String): DataFrame =
+    qDupClustersOn(t(spark, dir, "documents"))
+
+  /** DataFrame-input twin of [[qDupClusters]] (tests plant their own
+    * duplicates).
+    */
+  def qDupClustersOn(docs: DataFrame): DataFrame = {
+    val pairs = Dedup.minhashPairsPortable(docs, "doc_id", "text",
+      shingleK = 3, numHashes = 24, bands = 8, threshold = 0.5)
+      .localCheckpoint(true)
+    val verts = pairs.select(col("id_a")).unionByName(
+      pairs.select(col("id_b").as("id_a"))).distinct()
+    val labels = Dedup.connectedMinLabels(verts,
+      pairs.select(col("id_a"), col("id_b")))
+    docs.select(col("doc_id"))
+      .join(labels.withColumnRenamed("v", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("cluster"))
+  }
+
   /** Portable-sketch SimHash pairs (pure Catalyst, full SQL oracle);
     * the 64-bit xxhash variant stays unit-test-pinned as the
     * throughput path.

@@ -141,6 +141,17 @@ class DedupSimilaritySpec extends AnyFunSuite {
       Map(1L -> 1L, 2L -> 1L, 9L -> 1L, 4L -> 4L, 5L -> 4L, 7L -> 7L))
   }
 
+  test("dup clusters: planted dups share a cluster, everything else is a singleton") {
+    val out = graft.queries.QueryCatalog.qDupClustersOn(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(100L) === 7L && out(7L) === 7L, "exact dup joins its original")
+    assert(out(101L) === out(9L), "near dup clusters with its original")
+    val planted = Set(7L, 9L, 100L, 101L)
+    out.filterNot { case (id, _) => planted(id) }.foreach { case (id, c) =>
+      assert(c === id, s"doc $id must be a singleton cluster")
+    }
+  }
+
   test("transitive dedup keeps one doc per component (subset of one-pass)") {
     val kept = Dedup.minhashDedupTransitive(docs, "doc_id", "text", threshold = 0.5)
       .select("doc_id").collect().map(_.getLong(0)).toSet
