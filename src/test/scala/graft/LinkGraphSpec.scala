@@ -109,6 +109,37 @@ class LinkGraphSpec extends AnyFunSuite {
       .head().getAs[String]("anchor") === "about")
   }
 
+  test("partition invariance: pageRank, components, anchorText, bm25 results ignore input layout") {
+    // the determinism contract: identical results at any partitioning
+    // (a retry or different executor count must never change output)
+    val vertices = (0L until 40L).toDF("v")
+    val edges = (0L until 40L).flatMap(i =>
+      Seq((i, (i * 3 + 1) % 40), (i, (i * 7 + 2) % 40))).toDF("src", "dst")
+    def prSet(parts: Int) = LinkGraph
+      .pageRank(vertices.repartition(parts), edges.repartition(parts), 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(prSet(1) === prSet(7))
+    val pairs = (0L until 30L by 3L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    def ccSet(parts: Int) = LinkGraph
+      .components(vertices.repartition(parts), pairs.repartition(parts))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ccSet(1) === ccSet(5))
+    val links = (0L until 50L).map(i =>
+      (s"u${i % 9}", s"anchor ${i % 4}")).toDF("url", "anchor")
+    def atSet(parts: Int) = LinkGraph.anchorText(links.repartition(parts), 2)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getAs[Long]("c"), r.getAs[Int]("rank"))).toSet
+    assert(atSet(1) === atSet(6))
+    val docs = (1L to 30L).map(i =>
+      (i, if (i % 3 == 0) "spark join merge words" else "spark other text here"))
+      .toDF("doc_id", "text")
+    def bmSeq(parts: Int) = TextAnalysis
+      .bm25Rank(docs.repartition(parts), "doc_id", "text",
+        Seq("spark", "join", "merge"), k = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(bmSeq(1) === bmSeq(7))
+  }
+
   test("bm25Rank agrees with an independent plain-Scala evaluation") {
     val docs = Seq(
       (1L, "spark join"),
