@@ -162,6 +162,18 @@ object Model {
         * the URL's own last fetch. Roots (seeds) always re-enter on
         * schedule; false re-crawls every due URL unconditionally. */
       recrawlSubtreeGate: Boolean = true,
+      /** opt-in link-mass priority feedback (OFF by default — the
+        * reference schedules purely by priority+depth, and crawl-order
+        * parity is the north rule): when on, a newly discovered URL's
+        * score is lowered (score asc pops first) by
+        * floor(log2(in-wave inlink count)) — pages many fetched pages
+        * point at crawl earlier, the degree-based first wave of
+        * PageRank-style frontier ordering ([[graft.operators
+        * .LinkGraph.pageRank]] is the full off-line variant). The
+        * count piggybacks on the expansion dedup aggregate — zero
+        * extra shuffles — and the boost (< 64) can reorder across
+        * depth but never across priority bands (10^6 apart). */
+      inlinkBoost: Boolean = false,
       /** fetch-join gate: the popped side broadcasts only below this
         * row count; above it, the join co-partitions on urlHash
         * (against the bucketed fetch source when `fetchBuckets` > 0)

@@ -699,7 +699,11 @@ final class WaveRunner(
       .groupBy("urlHash")
       .agg(min(col("url")).as("url"),
         min(col("depth")).as("pdepth"), min(col("priority")).as("priority"),
-        min(col("parentHash")).as("parentHash"))
+        min(col("parentHash")).as("parentHash"),
+        // in-wave inlink count (exact in both seen-filter regimes: the
+        // anti-join drops whole keys, never partial rows) — free here,
+        // consumed only under config.inlinkBoost
+        count(lit(1)).as("inlinks"))
 
     val unseen =
       if (preBroadcast) candidates // already filtered before the groupBy
@@ -714,7 +718,14 @@ final class WaveRunner(
         graft.plans.HostOf.host_of(col("url")).as("host"),
         (col("pdepth") + 1).as("depth"),
         col("priority"),
-        scoreCol(col("priority"), col("pdepth") + 1).as("score"),
+        // optional link-mass feedback: floor(log2(inlinks)) as an exact
+        // integer (length(bin(c)) - 1), subtracted so heavily-linked
+        // pages pop earlier within their priority band; default off =
+        // the reference's pure priority+depth ordering
+        (if (config.inlinkBoost)
+           scoreCol(col("priority"), col("pdepth") + 1) -
+             (length(bin(col("inlinks"))) - 1).cast("long")
+         else scoreCol(col("priority"), col("pdepth") + 1)).as("score"),
         lit(w).as("discoveredWave"),
         col("parentHash"))
 

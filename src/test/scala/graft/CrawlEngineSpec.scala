@@ -186,4 +186,41 @@ class CrawlEngineSpec extends AnyFunSuite {
     assert(m.segments.size === baseline.frontierT.committedWave() + 1,
       s"expected one appended segment per wave, got ${m.segments}")
   }
+
+  test("inlinkBoost: heavily-inlinked page pops first within its band; off = pure priority+depth") {
+    import spark.implicits._
+    // seed s -> b,c,d (wave 2); b,c,d each -> a and one unique child, so
+    // at wave-2 expansion a has 3 in-wave inlinks (ilog2 = 1) and
+    // e,f,g have 1 (ilog2 = 0) at identical (priority, depth)
+    def page(path: String, outs: Seq[String]): (String, java.sql.Timestamp, Array[Byte]) = {
+      val html = "<html><body>" + outs.map(o =>
+        s"""<a href="http://boost.test/$o">x</a>""").mkString + "</body></html>"
+      (s"http://boost.test/$path", java.sql.Timestamp.valueOf("2020-01-01 00:00:00"),
+        html.getBytes("UTF-8"))
+    }
+    val corpus = Seq(
+      page("s", Seq("b", "c", "d")),
+      page("b", Seq("a", "e")), page("c", Seq("a", "f")), page("d", Seq("a", "g")),
+      page("a", Nil), page("e", Nil), page("f", Nil), page("g", Nil)
+    ).toDF("url", "warc_ts", "html")
+    def orderWith(boost: Boolean): Seq[String] = {
+      val runner = new WaveRunner(spark, corpus,
+        Files.createTempDirectory("graft-boost-").toString,
+        CrawlConfig(maxDepth = 3, defaultMaxPerWave = 100, maxWaves = 4,
+          inlinkBoost = boost))
+      runner.initSeeds(Seq("http://boost.test/s" -> 1))
+      runner.run()
+      runner.crawlOrder().collect().map(_.getString(3)).toSeq
+    }
+    val boosted = orderWith(true)
+    val third = boosted.drop(4) // wave 1: s; wave 2: b,c,d; wave 3: a,e,f,g
+    assert(third.head === "http://boost.test/a",
+      s"the 3-inlink page must pop first in its wave, got $third")
+    // boost off: same band, tie broken by urlHash only — a is not
+    // necessarily first; assert the score column shows NO boost by
+    // checking both runs visit the same URL SET in wave 3
+    val plain = orderWith(false)
+    assert(plain.toSet === boosted.toSet)
+    assert(plain.take(4).toSet === boosted.take(4).toSet)
+  }
 }
