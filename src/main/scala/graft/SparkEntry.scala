@@ -759,10 +759,12 @@ object SparkEntry {
         |e0 AS (
         | SELECT doc_id AS a, doc_id - doc_id % 7 AS b
         | FROM documents WHERE doc_id % 7 <> 0
+        |  AND (doc_id - doc_id % 7) IN (SELECT doc_id FROM v)
         | UNION ALL
         | SELECT doc_id AS a, doc_id + 7 AS b
         | FROM documents CROSS JOIN m
-        | WHERE doc_id % 21 = 0 AND doc_id + 7 <= m.m),
+        | WHERE doc_id % 21 = 0 AND doc_id + 7 <= m.m
+        |  AND (doc_id + 7) IN (SELECT doc_id FROM v)),
         |e AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
         |reach(a, b) AS (
         | SELECT doc_id, doc_id FROM v

@@ -80,8 +80,12 @@ object LinkGraph {
             expr(s"($dampingPermille * coalesce(s, CAST(0 AS BIGINT))) DIV 1000"))
             .as("rank_micro")))
       }
-      // materialize before the edge cache is released below
-      ranks.localCheckpoint(true)
+      // each loop round already left `ranks` eagerly materialized by
+      // `ckpt` (reliable or local per the flag) — re-pinning the
+      // reliable result to executor-local blocks here would silently
+      // downgrade the lost-executor-safe contract. Only the
+      // iterations==0 start frame still needs materializing.
+      if (iterations == 0) ckpt(ranks) else ranks
     } finally eDeg.unpersist()
   }
 

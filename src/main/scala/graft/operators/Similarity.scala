@@ -237,7 +237,8 @@ object Similarity {
     */
   def semDedup(spark: org.apache.spark.sql.SparkSession, corpus: DataFrame,
                k: Int, iterations: Int, tau: Double,
-               materialize: DataFrame => DataFrame = _.localCheckpoint(true))
+               reliableCheckpoints: Boolean = false,
+               materialize: Option[DataFrame => DataFrame] = None)
       : DataFrame = {
     val cents = IvfIndex.trainPortable(spark, corpus, k, iterations)
     // materialize the assignment ONCE: it feeds both self-join sides
@@ -245,11 +246,22 @@ object Similarity {
     // the k-way nearest-centroid expression three times over the
     // corpus (measured 10.2 s -> 4 s at sf0.1). At production scale
     // the assignment is written to a table before the pair stage (the
-    // published SemDeDup recipe does exactly this); localCheckpoint is
-    // the in-session analog — swap `materialize` for a table
-    // write+read (or `checkpoint(true)` on a DFS dir) on a real
-    // cluster, same seam as Dedup.connectedMinLabels.
-    val assigned = materialize(IvfIndex.assignPortable(corpus, cents)
+    // published SemDeDup recipe does exactly this). The in-session
+    // analogs mirror [[graft.operators.Dedup.connectedMinLabels]]'
+    // EXPLICIT choice: `reliableCheckpoints=true` pins it via
+    // `checkpoint()` to the SparkContext's checkpoint dir (DFS on a
+    // cluster — the lost-executor-safe path; caller must
+    // `sc.setCheckpointDir` first), the default is the local[*]-only
+    // `localCheckpoint` fast path, and `materialize` overrides both
+    // (e.g. a table write+read).
+    val mat: DataFrame => DataFrame = materialize.getOrElse {
+      if (reliableCheckpoints) { d =>
+        require(d.sparkSession.sparkContext.getCheckpointDir.isDefined,
+          "reliableCheckpoints=true requires sc.setCheckpointDir (a DFS path on a cluster)")
+        d.checkpoint(eager = true)
+      } else (_: DataFrame).localCheckpoint(true)
+    }
+    val assigned = mat(IvfIndex.assignPortable(corpus, cents)
       .select(col("id"), col("vec"), col("cluster")))
     val dropped = assigned.as("a")
       .join(assigned.as("b"),

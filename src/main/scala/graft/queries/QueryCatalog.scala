@@ -861,13 +861,21 @@ object QueryCatalog {
     */
   def qComponents(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents").select(col("doc_id"))
+    // both derived endpoints are semi-joined onto the vertex set (the
+    // way qPagerank gates its targets): the engine kernel drops edges
+    // through non-vertex endpoints while a recursive closure would
+    // walk THROUGH them, so parity must not lean on ids being
+    // contiguous from 0 — gapped or 1-based ids stay in parity
+    val vB = docs.select(col("doc_id").as("id_b"))
     val star = docs.filter(col("doc_id") % 7 =!= 0)
       .select(col("doc_id").as("id_a"),
         (col("doc_id") - col("doc_id") % 7).as("id_b"))
+      .join(vB, Seq("id_b"), "left_semi")
     val m = docs.agg(max(col("doc_id")).as("m"))
     val bridge = docs.crossJoin(broadcast(m))
       .filter(col("doc_id") % 21 === 0 && col("doc_id") + 7 <= col("m"))
       .select(col("doc_id").as("id_a"), (col("doc_id") + 7).as("id_b"))
+      .join(vB, Seq("id_b"), "left_semi")
     LinkGraph.components(docs, star.unionByName(bridge))
       .select(col("v").as("doc_id"), col("component"))
   }
@@ -879,15 +887,6 @@ object QueryCatalog {
     TextAnalysis.bm25Rank(t(spark, dir, "documents"), "doc_id", "text",
       Seq("spark", "join", "merge"), k = 10)
 
-  /** Anchor-text rollup ([[LinkGraph.anchorText]], top-1) over links
-    * extracted by the REAL extraction path ([[graft.core.LinkExtractor]]
-    * — href resolution + anchor-title rendering) from deterministic
-    * synthetic pages: doc i links to hub page `p/(i mod 100)` with
-    * anchor `ref (i mod 4)` and to `q/(i mod 50)` with anchor
-    * `see also (i mod 3)`, so targets collect colliding anchors with
-    * non-trivial counts. The oracle states the same links
-    * arithmetically.
-    */
   /** Corpus-conditioned LM-familiarity (perplexity-filter surrogate,
     * [[Curation.familiarityScore]]): per-doc mean floor-log2 of the
     * corpus count of each token-bigram occurrence, exact integers.
@@ -906,7 +905,9 @@ object QueryCatalog {
   def qTokenBudget(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
     val tokens = TextAnalysis.tokenCount(col("text"))
-    val budget = docs.agg(sum(tokens.cast("long"))).head().getLong(0) * 45L / 100L
+    // coalesce: on an empty corpus sum() is null and getLong would NPE
+    val budget = docs.agg(coalesce(sum(tokens.cast("long")), lit(0L)))
+      .head().getLong(0) * 45L / 100L
     Curation.tokenBudgetSelect(docs, "doc_id", tokens,
       (col("doc_id") * 37) % 100, budget)
   }
@@ -934,6 +935,15 @@ object QueryCatalog {
     graft.operators.RobotsLoader.sitemapUrls(pages)
   }
 
+  /** Anchor-text rollup ([[LinkGraph.anchorText]], top-1) over links
+    * extracted by the REAL extraction path ([[graft.core.LinkExtractor]]
+    * — href resolution + anchor-title rendering) from deterministic
+    * synthetic pages: doc i links to hub page `p/(i mod 100)` with
+    * anchor `ref (i mod 4)` and to `q/(i mod 50)` with anchor
+    * `see also (i mod 3)`, so targets collect colliding anchors with
+    * non-trivial counts. The oracle states the same links
+    * arithmetically.
+    */
   def qAnchorText(spark: SparkSession, dir: String): DataFrame = {
     val linksUdf = udf { (docId: Long) =>
       val html =

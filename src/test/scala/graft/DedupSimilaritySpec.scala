@@ -118,27 +118,66 @@ class DedupSimilaritySpec extends AnyFunSuite {
       "every chain vertex must flood to the component min (0)")
   }
 
-  test("connectedMinLabels: reliable-checkpoint path matches localCheckpoint") {
-    // the cluster seam (round-3 verdict #8): checkpoint() to the
-    // context's checkpoint dir instead of executor-local blocks —
-    // identical labels, and a loud require when no dir is set
-    val vertices = Seq(1L, 2L, 4L, 5L, 7L, 9L).toDF("v")
-    val pairs = Seq((2L, 9L), (1L, 9L), (4L, 5L)).toDF("id_a", "id_b")
-    // the checkpoint dir is JVM-global (one SparkContext across
-    // suites); only assert the loud require when no other suite has
-    // set it yet
-    if (spark.sparkContext.getCheckpointDir.isEmpty) {
+  test("reliableCheckpoints without a checkpoint dir fails loudly (all operators)") {
+    // ONE dedicated, order-independent home for the loud-require
+    // contract: the checkpoint dir is JVM-global (one SparkContext
+    // across suites), so this test CLEARS it (setCheckpointDir(null)
+    // → Option(null) = None in local mode), asserts every reliable
+    // path refuses, and restores whatever was set before.
+    val prev = spark.sparkContext.getCheckpointDir
+    spark.sparkContext.setCheckpointDir(null)
+    try {
+      assert(spark.sparkContext.getCheckpointDir.isEmpty,
+        "precondition: dir must be cleared for the intercepts below")
+      val vertices = Seq(1L, 2L).toDF("v")
+      val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
       intercept[IllegalArgumentException] {
         Dedup.connectedMinLabels(vertices, pairs, reliableCheckpoints = true)
       }
+      intercept[IllegalArgumentException] {
+        graft.operators.LinkGraph.pageRank(vertices,
+          Seq((1L, 2L)).toDF("src", "dst"), 1, reliableCheckpoints = true)
+      }
+      intercept[IllegalArgumentException] {
+        Similarity.semDedup(spark,
+          Seq((1L, Array(1.0f, 0.0f))).toDF("id", "vec"),
+          k = 1, iterations = 1, tau = 0.9, reliableCheckpoints = true)
+      }
+    } finally prev.foreach(spark.sparkContext.setCheckpointDir)
+  }
+
+  private def ensureCheckpointDir(): Unit =
+    if (spark.sparkContext.getCheckpointDir.isEmpty)
       spark.sparkContext.setCheckpointDir(
         java.nio.file.Files.createTempDirectory("graft-ckpt-").toString)
-    }
+
+  test("connectedMinLabels: reliable-checkpoint path matches localCheckpoint") {
+    // the cluster seam (round-3 verdict #8): checkpoint() to the
+    // context's checkpoint dir instead of executor-local blocks —
+    // identical labels (the loud-require contract has its own
+    // dedicated test above)
+    val vertices = Seq(1L, 2L, 4L, 5L, 7L, 9L).toDF("v")
+    val pairs = Seq((2L, 9L), (1L, 9L), (4L, 5L)).toDF("id_a", "id_b")
+    ensureCheckpointDir()
     val reliable = Dedup.connectedMinLabels(vertices, pairs,
         reliableCheckpoints = true)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(reliable ===
       Map(1L -> 1L, 2L -> 1L, 9L -> 1L, 4L -> 4L, 5L -> 4L, 7L -> 7L))
+  }
+
+  test("semDedup: reliable-checkpoint materialization matches the default path") {
+    // round-4 verdict #6: the assignment-table pin is an explicit
+    // choice mirroring connectedMinLabels, not a silent localCheckpoint
+    val rows = (0 until 12).map(i =>
+      (i.toLong, Array.tabulate(6)(j => if (j == i % 3) 1.0f else 0.05f * j)))
+    val df = rows.toDF("id", "vec")
+    ensureCheckpointDir()
+    def run(reliable: Boolean) =
+      Similarity.semDedup(spark, df, k = 3, iterations = 2, tau = 0.999,
+          reliableCheckpoints = reliable)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2))).toSet
+    assert(run(reliable = true) === run(reliable = false))
   }
 
   test("dup clusters: planted dups share a cluster, everything else is a singleton") {

@@ -60,16 +60,13 @@ class LinkGraphSpec extends AnyFunSuite {
   test("pageRank: reliable-checkpoint path matches localCheckpoint") {
     // the cluster seam: checkpoint() to the context's checkpoint dir
     // (lost-executor-safe) instead of executor-local blocks — results
-    // must be identical (and a loud require fires when no dir is set)
+    // must be identical (the loud require when no dir is set has its
+    // dedicated order-independent test in DedupSimilaritySpec)
     val vertices = Seq(0L, 1L, 2L).toDF("v")
     val edges = Seq((0L, 1L), (0L, 2L), (1L, 2L), (2L, 0L)).toDF("src", "dst")
-    if (spark.sparkContext.getCheckpointDir.isEmpty) {
-      intercept[IllegalArgumentException] {
-        LinkGraph.pageRank(vertices, edges, 2, reliableCheckpoints = true)
-      }
+    if (spark.sparkContext.getCheckpointDir.isEmpty)
       spark.sparkContext.setCheckpointDir(
         java.nio.file.Files.createTempDirectory("graft-pr-ckpt-").toString)
-    }
     val local = LinkGraph.pageRank(vertices, edges, iterations = 2)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val reliable = LinkGraph.pageRank(vertices, edges, iterations = 2,
