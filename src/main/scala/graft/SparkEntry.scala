@@ -116,10 +116,12 @@ object SparkEntry {
     "q_media_features" -> (qMediaFeatures(_, _)))
 
   /** Shared CTE prefix for the portable-MinHash oracles: the full
-    * shingle → signature → band → candidate-pair → estimate pipeline
-    * stated in SQL, ending in a `pairs_est` relation the final select
-    * consumes (identical constants to Dedup.minhashPairsPortable:
-    * k=3, 24 hashes, 8 bands).
+    * shingle → signature → band → bucket-cap → candidate-pair →
+    * estimate pipeline stated in SQL, ending in a `pairs_est` relation
+    * the final select consumes (identical constants to
+    * Dedup.minhashPairsPortable: k=3, 24 hashes, 8 bands, buckets
+    * capped at 1000 rows by `row_number ≤ cap` over doc id — the
+    * deterministic viral-boilerplate guard, stated verbatim).
     */
   private def minhashPairsOracle(finalSelect: String): String =
     s"""WITH toks AS (
@@ -136,10 +138,16 @@ object SparkEntry {
              s"min(('0x' || substr(md5('${j / 4}:' || s), ${1 + 8 * (j % 4)}, 8))::BIGINT)")
              .mkString(",\n  ")}] AS sig
        | FROM sh GROUP BY doc_id),
-       |banded AS (
+       |banded0 AS (
        | SELECT doc_id, sig, b,
        |  md5(array_to_string(sig[b*3+1:b*3+3], ',')) AS bkey
        | FROM sigs CROSS JOIN (SELECT unnest(range(0, 8)) AS b)),
+       |banded AS (
+       | SELECT doc_id, sig, b, bkey FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY b, bkey
+       |    ORDER BY doc_id) AS rn
+       |  FROM banded0)
+       | WHERE rn <= 1000),
        |pairs_est AS (
        | SELECT id_a, id_b,
        |  round(CAST(list_sum(list_transform(range(1, 25),

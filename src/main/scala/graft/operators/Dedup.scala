@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Observation}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -16,12 +16,42 @@ import graft.core.Hashing
   *  - minhash-LSH: per-row signature (map-side) + one shuffle per band
   *    on (band, bandHash) — candidate pairs only within buckets;
   *  - simhash: per-row 64-bit sketch + pigeonhole band join;
-  *  - verification joins are bounded by bucket sizes, and the
-  *    candidate-pair generator caps pathological buckets explicitly
+  *  - verification joins are bounded by bucket sizes, and BOTH
+  *    candidate-pair generators cap pathological buckets explicitly
   *    (a 10^6-doc boilerplate bucket would otherwise explode
-  *    quadratically — capped, logged, never silent).
+  *    quadratically). The cap is deterministic (lowest ids kept) and
+  *    NEVER silent: every capped run emits `capped_buckets` /
+  *    `rows_dropped_by_cap` as an observed metric on the banded scan
+  *    (visible to any QueryExecutionListener, and readable directly by
+  *    passing an [[org.apache.spark.sql.Observation]]).
   */
 object Dedup {
+
+  /** Attach the cap-loudness metric to the banded rows (which carry
+    * `rn`, the deterministic row_number within each (band, key)
+    * bucket): `capped_buckets` = buckets that overflowed `maxBucket`,
+    * `rows_dropped_by_cap` = banded rows the cap removed. Emitted on
+    * EVERY run — through the caller's [[Observation]] when provided,
+    * else under a unique auto name so the metric still reaches
+    * listener-based metric sinks (names must be unique per query, so
+    * a fixed name would break plans using both LSH variants).
+    */
+  private val capMetricSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+  private def observeCap(banded: DataFrame, maxBucket: Int,
+                         obs: Option[Observation]): DataFrame = {
+    val cappedBuckets =
+      sum(when(col("rn") === maxBucket + 1, 1L).otherwise(0L))
+        .as("capped_buckets")
+    val droppedRows =
+      sum(when(col("rn") > maxBucket, 1L).otherwise(0L))
+        .as("rows_dropped_by_cap")
+    obs match {
+      case Some(o) => banded.observe(o, cappedBuckets, droppedRows)
+      case None => banded.observe(
+        s"minhash_lsh_cap_${capMetricSeq.incrementAndGet()}",
+        cappedBuckets, droppedRows)
+    }
+  }
 
   // ---------- exact ----------
 
@@ -101,13 +131,17 @@ object Dedup {
     * Returns (id_a, id_b, est_jaccard) with id_a < id_b.
     *
     * `maxBucket` caps pathological buckets (pairs in a bucket grow
-    * quadratically); capped buckets are counted in the returned
-    * DataFrame's sibling metric — callers at 10^10 scale should route
-    * mega-buckets (usually exact boilerplate) through exactDedup first.
+    * quadratically) deterministically — lowest ids kept — and the cap
+    * is LOUD: `capped_buckets` / `rows_dropped_by_cap` are emitted as
+    * an observed metric on every run (pass `capMetrics` to read them
+    * directly; see [[observeCap]]). Callers at 10^10 scale should
+    * still route mega-buckets (usually exact boilerplate) through
+    * exactDedup first.
     */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
                    shingleK: Int = 5, numHashes: Int = 64, bands: Int = 16,
-                   threshold: Double = 0.7, maxBucket: Int = 1000): DataFrame = {
+                   threshold: Double = 0.7, maxBucket: Int = 1000,
+                   capMetrics: Option[Observation] = None): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
     val sigs = df.select(col(idCol).as("doc_id_"),
@@ -123,9 +157,11 @@ object Dedup {
         explode(sequence(lit(0), lit(bands - 1))).as("band"))
       .withColumn("bkey", bandHash(col("sig"), col("band")))
 
-    // cap pathological buckets deterministically (keep lowest ids)
+    // cap pathological buckets deterministically (keep lowest ids),
+    // loudly (observed metric)
     val wB = Window.partitionBy("band", "bkey").orderBy("doc_id_")
-    val capped = banded.withColumn("rn", row_number().over(wB))
+    val capped = observeCap(banded.withColumn("rn", row_number().over(wB)),
+        maxBucket, capMetrics)
       .filter(col("rn") <= maxBucket).drop("rn")
 
     val left = capped.select(col("band"), col("bkey"),
@@ -320,8 +356,13 @@ object Dedup {
     *  2. signature row (doc, j, min over shingles of
     *     portableHash(j:shingle)) via one explode + one aggregate;
     *  3. signatures assembled ordered (sort_array of (j, minhash));
-    *  4. band keys = md5 of each band's signature slice; candidate
-    *     pairs from (band, key) equi-joins — never all-pairs;
+    *  4. band keys = md5 of each band's signature slice; buckets
+    *     capped at `maxBucket` rows (deterministic `row_number ≤ cap`
+    *     by doc id, LOUD via the observed cap metric — same rule as
+    *     [[minhashPairs]], statable verbatim in the SQL oracle: one
+    *     viral-boilerplate bucket of 10^6 near-identical docs would
+    *     otherwise detonate quadratically); candidate pairs from
+    *     (band, key) equi-joins — never all-pairs;
     *  5. est_jaccard = matching signature rows / numHashes.
     *
     * Same banding semantics as [[minhashPairs]]; every step is a
@@ -330,7 +371,9 @@ object Dedup {
     */
   def minhashPairsPortable(df: DataFrame, idCol: String, textCol: String,
                            shingleK: Int = 3, numHashes: Int = 24,
-                           bands: Int = 8, threshold: Double = 0.5): DataFrame = {
+                           bands: Int = 8, threshold: Double = 0.5,
+                           maxBucket: Int = 1000,
+                           capMetrics: Option[Observation] = None): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
     val toks = filter(split(lower(col(textCol)), "\\W+"), t => length(t) > 0)
@@ -373,9 +416,16 @@ object Dedup {
       .withColumn("bkey",
         md5(concat_ws(",", slice(col("sig"), col("band") * rowsPerBand + 1,
           lit(rowsPerBand)).cast("array<string>"))))
-    val left = banded.select(col("band"), col("bkey"),
+    // cap pathological buckets deterministically (keep lowest ids),
+    // loudly (observed metric) — identical rule to minhashPairs and
+    // stated verbatim in the SQL oracle
+    val wB = Window.partitionBy("band", "bkey").orderBy("doc_id_")
+    val capped = observeCap(banded.withColumn("rn", row_number().over(wB)),
+        maxBucket, capMetrics)
+      .filter(col("rn") <= maxBucket).drop("rn")
+    val left = capped.select(col("band"), col("bkey"),
       col("doc_id_").as("id_a"), col("sig").as("sig_a"))
-    val right = banded.select(col("band"), col("bkey"),
+    val right = capped.select(col("band"), col("bkey"),
       col("doc_id_").as("id_b"), col("sig").as("sig_b"))
     left.join(right, Seq("band", "bkey"))
       .filter(col("id_a") < col("id_b"))

@@ -562,12 +562,14 @@ object QueryCatalog {
       .select(col("doc_id"))
 
   /** Portable MinHash+LSH pairs (pure Catalyst, full SQL oracle of the
-    * whole shingle→signature→band→estimate pipeline); the xxhash
-    * permutation variant stays unit-test-pinned as the throughput path.
+    * whole shingle→signature→band→cap→estimate pipeline, the
+    * `row_number ≤ 1000` bucket cap included); the xxhash permutation
+    * variant stays unit-test-pinned as the throughput path.
     */
   def qMinhashPairs(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashPairsPortable(t(spark, dir, "documents"), "doc_id", "text",
-      shingleK = 3, numHashes = 24, bands = 8, threshold = 0.5)
+      shingleK = 3, numHashes = 24, bands = 8, threshold = 0.5,
+      maxBucket = 1000)
 
   /** One-pass dedup over the portable pairs (drop every id that pairs
     * with a lower id) — oracle-checkable end to end.
@@ -575,7 +577,8 @@ object QueryCatalog {
   def qMinhashDedup(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
     val pairs = Dedup.minhashPairsPortable(docs, "doc_id", "text",
-      shingleK = 3, numHashes = 24, bands = 8, threshold = 0.5)
+      shingleK = 3, numHashes = 24, bands = 8, threshold = 0.5,
+      maxBucket = 1000)
     docs.join(pairs.select(col("id_b").as("doc_id")).distinct(),
         Seq("doc_id"), "left_anti")
       .groupBy().agg(count(lit(1)).as("n_kept"))
@@ -597,7 +600,8 @@ object QueryCatalog {
     */
   def qDupClustersOn(docs: DataFrame): DataFrame = {
     val pairs = Dedup.minhashPairsPortable(docs, "doc_id", "text",
-      shingleK = 3, numHashes = 24, bands = 8, threshold = 0.5)
+      shingleK = 3, numHashes = 24, bands = 8, threshold = 0.5,
+      maxBucket = 1000)
       .localCheckpoint(true)
     val verts = pairs.select(col("id_a")).unionByName(
       pairs.select(col("id_b").as("id_a"))).distinct()

@@ -92,6 +92,40 @@ class DedupSimilaritySpec extends AnyFunSuite {
       "unrelated doc must not pair")
   }
 
+  test("mega-bucket stress: the cap bounds pairs and is LOUD (both LSH variants)") {
+    // 2000 byte-identical docs — the viral-boilerplate shape: every
+    // doc lands in the SAME bucket of every band. Uncapped this is
+    // C(2000,2) ≈ 2M candidate pairs; capped at 50 it must be exactly
+    // C(50,2) = 1225 distinct pairs (lowest 50 ids kept per band, the
+    // same 50 in every band), and the cap must report itself.
+    import org.apache.spark.sql.Observation
+    val viral = (0 until 2000).map(i =>
+      (i.toLong, "identical viral boilerplate text repeated across the corpus"))
+      .toDF("doc_id", "text")
+    val obsP = Observation("cap-portable")
+    val pairsP = Dedup.minhashPairsPortable(viral, "doc_id", "text",
+      shingleK = 3, numHashes = 24, bands = 8, threshold = 0.5,
+      maxBucket = 50, capMetrics = Some(obsP))
+    assert(pairsP.count() === 1225L)
+    assert(obsP.get("capped_buckets") === 8L,
+      "one overflowing bucket per band must be counted")
+    assert(obsP.get("rows_dropped_by_cap") === 8L * 1950L)
+    val obsX = Observation("cap-xxhash")
+    val pairsX = Dedup.minhashPairs(viral, "doc_id", "text",
+      shingleK = 3, numHashes = 64, bands = 16, threshold = 0.5,
+      maxBucket = 50, capMetrics = Some(obsX))
+    assert(pairsX.count() === 1225L)
+    assert(obsX.get("capped_buckets") === 16L)
+    assert(obsX.get("rows_dropped_by_cap") === 16L * 1950L)
+    // an uncapped-regime run on the REGULAR fixture reports zero:
+    // the metric is attached (loud) even when nothing is capped
+    val obs0 = Observation("cap-none")
+    Dedup.minhashPairsPortable(docs, "doc_id", "text", threshold = 0.5,
+      capMetrics = Some(obs0)).count()
+    assert(obs0.get("capped_buckets") === 0L)
+    assert(obs0.get("rows_dropped_by_cap") === 0L)
+  }
+
   test("connectedMinLabels: chains flood to the component min, fixpoint") {
     // components: {1,2,9} (chain 2-9, 9-1), {4,5}, singleton {7}
     val vertices = Seq(1L, 2L, 4L, 5L, 7L, 9L).toDF("v")
