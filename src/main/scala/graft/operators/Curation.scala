@@ -113,6 +113,70 @@ object Curation {
       .select(col(idCol), col("score"), col("n_tokens"))
   }
 
+  /** Per-stratum `ntile(tiles)` value-distribution profile (count +
+    * value bounds per tile) computed DISTRIBUTIVELY — the corpus
+    * length-histogram a curation run reads before picking truncation
+    * and filter thresholds, without the per-stratum row sort `ntile`
+    * itself implies (a `Window.partitionBy(lang)` over web text puts
+    * ~half the corpus — one language — into ONE task's sort: a
+    * guaranteed straggler/OOM at 10^10 docs).
+    *
+    * The trick (same bounded-dimension exception as
+    * [[tokenBudgetSelect]]): tile aggregates never need per-row order,
+    * only per-(stratum, value) COUNTS plus a cumulative over the value
+    * DIMENSION — bounded by the number of distinct values per stratum
+    * (document lengths: thousands), not by rows.
+    *
+    *  1. one (stratum, value) count aggregate (map-side combinable);
+    *  2. cumulative row positions over the value dimension per
+    *     stratum: rows of a value group occupy global positions
+    *     (cum_start, cum_end];
+    *  3. `ntile` tile `d` of N rows covers positions
+    *     lo=(d−1)·q+min(d−1,r)+1 .. hi=d·q+min(d,r) where q=N div
+    *     tiles, r=N mod tiles (exactly Spark's/DuckDB's ntile split);
+    *  4. per (stratum, value, tile): overlap of the two intervals →
+    *     final (stratum, tile) aggregate.
+    *
+    * The result is EXACTLY what `ntile(tiles) OVER (PARTITION BY
+    * stratum ORDER BY value, anything)` + count/min/max yields, for
+    * ANY tie-break: the tie-break only permutes which row ids land in
+    * which tile, never the per-tile value statistics. The oracle
+    * states the independent ntile formulation.
+    *
+    * @return (strataCol, tile [1..tiles], n_rows, min_value, max_value)
+    */
+  def valueDeciles(df: DataFrame, strataCol: String, valueCol: String,
+                   tiles: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(tiles >= 1, s"tiles must be >= 1, got $tiles")
+    val grp = df.groupBy(col(strataCol), col(valueCol))
+      .agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy(strataCol).orderBy(valueCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(strataCol)
+    val cum = grp
+      .withColumn("cum_end", sum(col("cnt")).over(wCum))
+      .withColumn("cum_start", col("cum_end") - col("cnt"))
+      .withColumn("n", sum(col("cnt")).over(wAll))
+      .withColumn("q", expr(s"n DIV $tiles"))
+      .withColumn("r", col("n") % tiles)
+    cum
+      .select(col(strataCol), col(valueCol), col("cum_start"), col("cum_end"),
+        col("q"), col("r"),
+        explode(sequence(lit(1), lit(tiles))).as("tile"))
+      .withColumn("lo", (col("tile") - 1) * col("q") +
+        least(col("tile") - 1, col("r")) + 1)
+      .withColumn("hi", col("tile") * col("q") + least(col("tile"), col("r")))
+      .withColumn("overlap",
+        least(col("cum_end"), col("hi")) -
+          greatest(col("cum_start") + 1, col("lo")) + 1)
+      .filter(col("overlap") > 0)
+      .groupBy(col(strataCol), col("tile"))
+      .agg(sum(col("overlap")).as("n_rows"),
+        min(col(valueCol)).as("min_value"),
+        max(col(valueCol)).as("max_value"))
+  }
+
   /** Corpus-conditioned LM-familiarity score — the integer-exact
     * surrogate of the CCNet/RefinedWeb "filter by language-model
     * perplexity" stage (Wenzek et al. 2020 score documents under a

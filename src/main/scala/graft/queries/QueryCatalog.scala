@@ -522,17 +522,19 @@ object QueryCatalog {
   /** Corpus length-distribution profile: per-language ntile(10)
     * deciles of document length (count + bounds per decile) — the
     * length-histogram a curation run reads before picking truncation
-    * and filter thresholds. Deterministic tie-break by doc_id.
+    * and filter thresholds. Computed DISTRIBUTIVELY
+    * ([[Curation.valueDeciles]]: per-(lang, n_chars) counts +
+    * interval arithmetic over the bounded length dimension — never a
+    * per-language row sort, which at web scale is one task sorting
+    * half the corpus); the oracle states the independent per-row
+    * `ntile` formulation and the results match exactly.
     */
-  def qLengthDeciles(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("lang").orderBy(col("n_chars"), col("doc_id"))
-    t(spark, dir, "documents")
-      .withColumn("decile", ntile(10).over(w))
-      .groupBy(col("lang"), col("decile"))
-      .agg(count(lit(1)).as("n_docs"),
-        min(col("n_chars")).as("min_chars"),
-        max(col("n_chars")).as("max_chars"))
-  }
+  def qLengthDeciles(spark: SparkSession, dir: String): DataFrame =
+    Curation.valueDeciles(t(spark, dir, "documents"), "lang", "n_chars",
+        tiles = 10)
+      .select(col("lang"), col("tile").as("decile"),
+        col("n_rows").as("n_docs"),
+        col("min_value").as("min_chars"), col("max_value").as("max_chars"))
 
   /** Winnow-min fingerprint summary, oracle-checkable end to end AND
     * throughput-shaped: TOKEN 5-gram portable hashes, window-8 minima,

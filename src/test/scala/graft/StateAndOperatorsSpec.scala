@@ -288,6 +288,37 @@ class StateAndOperatorsSpec extends AnyFunSuite {
     assert(run(total) === rows.map(_._1).toSet)
   }
 
+  test("valueDeciles equals per-row ntile for every tie/size shape") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // strata engineered to hit every edge: heavy ties straddling tile
+    // boundaries (one value = half the stratum), a stratum smaller
+    // than the tile count, single-value strata, exact multiples
+    val rows =
+      (0L until 137L).map(i => (i, "big", if (i < 70) 40L else 40L + i % 9)) ++
+      (0L until 7L).map(i => (1000L + i, "tiny", 5L + i % 2)) ++
+      (0L until 30L).map(i => (2000L + i, "flat", 9L)) ++
+      (0L until 40L).map(i => (3000L + i, "even", i % 4))
+    val df = rows.toDF("doc_id", "lang", "n_chars")
+    val w = Window.partitionBy("lang").orderBy(col("n_chars"), col("doc_id"))
+    val expected = df.withColumn("tile", ntile(10).over(w))
+      .groupBy(col("lang"), col("tile"))
+      .agg(count(lit(1)).as("n_rows"), min(col("n_chars")).as("min_value"),
+        max(col("n_chars")).as("max_value"))
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val got = graft.operators.Curation.valueDeciles(df, "lang", "n_chars", 10)
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got === expected)
+    // partition invariance (a repartition must not change the profile)
+    val got7 = graft.operators.Curation
+      .valueDeciles(df.repartition(7), "lang", "n_chars", 10)
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got7 === expected)
+  }
+
   test("familiarityScore: repeated bigrams score high, rare text low, tiny docs zero") {
     import spark.implicits._
     // "common phrase" occurs in docs 1-4 (8 occurrences of each of its

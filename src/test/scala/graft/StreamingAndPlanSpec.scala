@@ -377,6 +377,29 @@ class StreamingAndPlanSpec extends AnyFunSuite {
     }
   }
 
+  test("length-deciles plan: windows only over the aggregated length dimension") {
+    // round-4 verdict #2: the old ntile(10) OVER (PARTITION BY lang)
+    // sorted a whole language in ONE task. The distributive rewrite
+    // may still window — but only over the per-(lang, n_chars)
+    // DIMENSION, i.e. every WindowExec must sit above an aggregate,
+    // never directly over row-granularity input.
+    import org.apache.spark.sql.execution.aggregate.{BaseAggregateExec}
+    import org.apache.spark.sql.execution.window.WindowExec
+    val out = SparkEntry.queries("q_length_deciles")(spark, sfDir)
+    assert(out.count() > 0)
+    val nodes = planNodes(out.queryExecution.executedPlan)
+    val windows = nodes.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty, "the dimension cumulative still uses a window")
+    windows.foreach { w =>
+      val subtreeHasAgg = planNodes(w.child).exists {
+        case _: BaseAggregateExec => true
+        case _ => false
+      }
+      assert(subtreeHasAgg,
+        s"WindowExec over row-granularity input (no aggregate below it):\n$w")
+    }
+  }
+
   test("streaming URL dedup: first-in-horizon survives, state is watermark-bounded") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.StreamDedup
