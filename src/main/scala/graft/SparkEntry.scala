@@ -106,6 +106,7 @@ object SparkEntry {
     "q_token_budget" -> (qTokenBudget(_, _)),
     "q_robots_sitemaps" -> (qRobotsSitemaps(_, _)),
     "q_dup_clusters" -> (qDupClusters(_, _)),
+    "q_entity_extract" -> (qEntityExtract(_, _)),
     // similarity search
     "q_cosine_topk" -> (qCosineTopK(_, _)),
     "q_ann_lsh" -> (qAnnLsh(_, _)),
@@ -884,6 +885,28 @@ object SparkEntry {
         |  'http://' || source || '.test/news.xml' AS sitemap_url
         | FROM documents WHERE doc_id % 5 = 0)
         |SELECT host, sitemap_url FROM r""".stripMargin,
+    // entity/temporal extraction: the oracle states the synthesized
+    // entities and the expected extractions/normalization
+    // arithmetically (the Spark side runs the real regex + date-parse
+    // path over the same concatenation)
+    "q_entity_extract" ->
+      """SELECT doc_id,
+        | CASE
+        |  WHEN doc_id % 3 <> 0 AND doc_id % 5 = 0 THEN
+        |   source || CAST(doc_id AS varchar) || '@mail' ||
+        |   CAST(doc_id % 7 AS varchar) || '.example.com,ops@example.org'
+        |  WHEN doc_id % 3 <> 0 THEN
+        |   source || CAST(doc_id AS varchar) || '@mail' ||
+        |   CAST(doc_id % 7 AS varchar) || '.example.com'
+        |  WHEN doc_id % 5 = 0 THEN 'ops@example.org'
+        |  ELSE '' END AS emails,
+        | 'US 1,' || CAST(doc_id % 900 + 100 AS varchar) AS patents,
+        | CASE WHEN doc_id % 11 <> 0 THEN
+        |   CAST(doc_id % 25 + 2000 AS varchar) || '-' ||
+        |   lpad(CAST(doc_id % 12 + 1 AS varchar), 2, '0') || '-' ||
+        |   CAST(doc_id % 19 + 10 AS varchar) || 'T00:00:00Z'
+        |  ELSE NULL END AS posted_date
+        |FROM documents""".stripMargin,
     "q_crawl_frequency_gate" ->
       """SELECT o_orderkey,
         | CAST(datediff('day', o_orderdate, DATE '1995-06-17') AS int) AS age_days,

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.{GraftFunctions, TextAnalysis}
+import graft.functions.{EntityExtract, GraftFunctions, TextAnalysis}
 import graft.operators.{Curation, Dedup, LinkGraph, Multimodal, Similarity, SitemapSource}
 
 /** The operator catalog exposed through SparkEntry: one query per
@@ -892,6 +892,40 @@ object QueryCatalog {
   def qBm25Rank(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.bm25Rank(t(spark, dir, "documents"), "doc_id", "text",
       Seq("spark", "join", "merge"), k = 10)
+
+  /** Entity/temporal extraction-as-columns ([[EntityExtract]]): the
+    * reference's et_email / et_patent / posted_date EAV feeders over
+    * text synthesized deterministically per row (the corpus carries no
+    * entities; the oracle states the same concatenation and the
+    * expected extractions arithmetically). Coverage: no-email docs
+    * (%3==0), a second cc email (%5==0), mixed-case patent cues (%2),
+    * date-less docs (%11==0).
+    */
+  def qEntityExtract(spark: SparkSession, dir: String): DataFrame = {
+    val months = typedLit(EntityExtract.MonthNames)
+    val day = col("doc_id") % 19 + 10 // 10..28: valid in every month
+    val year = col("doc_id") % 25 + 2000
+    val monthName = element_at(months, (col("doc_id") % 12 + 1).cast("int"))
+    val pat = col("doc_id") % 900 + 100 // always 3 digits
+    val synth = concat(
+      col("text"),
+      when(col("doc_id") % 3 =!= 0,
+        concat(lit(" contact "), col("source"), col("doc_id").cast("string"),
+          lit("@mail"), (col("doc_id") % 7).cast("string"),
+          lit(".example.com"))).otherwise(lit("")),
+      when(col("doc_id") % 5 === 0, lit(" cc ops@example.org"))
+        .otherwise(lit("")),
+      when(col("doc_id") % 2 === 0, lit(" Patent "))
+        .otherwise(lit(" patent no. ")),
+      lit("US 1,"), pat.cast("string"),
+      when(col("doc_id") % 11 =!= 0,
+        concat(lit(" posted on "), monthName, lit(" "), day.cast("string"),
+          lit(", "), year.cast("string"))).otherwise(lit("")))
+    t(spark, dir, "documents").select(col("doc_id"),
+      array_join(EntityExtract.emails(synth), ",").as("emails"),
+      array_join(EntityExtract.patents(synth), ",").as("patents"),
+      EntityExtract.textualDateIso(synth).as("posted_date"))
+  }
 
   /** Corpus-conditioned LM-familiarity (perplexity-filter surrogate,
     * [[Curation.familiarityScore]]): per-doc mean floor-log2 of the

@@ -227,6 +227,50 @@ class StateAndOperatorsSpec extends AnyFunSuite {
     assert(rows("ef_score").isNullAt(rows("ef_score").fieldIndex("int_value")))
   }
 
+  test("EntityExtract: emails, patents, textual dates — edges and EAV roundtrip") {
+    import spark.implicits._
+    import graft.functions.EntityExtract
+    val rows = Seq(
+      (1L, "reach me at a.b+c@mail.example.com or ops@ex.org soon"),
+      (2L, "covered by Patent US 1,234,567 and patent no. 998877 today"),
+      (3L, "posted on January 5, 2024 and later on March 9, 2025"),
+      (4L, "x@y no tld, patentless, dated February 30, 2023 badly"),
+      (5L, "nothing to extract here at all"))
+      .toDF("doc_id", "text")
+    val out = rows.select(col("doc_id"),
+      array_join(EntityExtract.emails(col("text")), ",").as("em"),
+      array_join(EntityExtract.patents(col("text")), ",").as("pat"),
+      EntityExtract.textualDateIso(col("text")).as("dt"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getString(2), Option(r.getString(3))))).toMap
+    assert(out(1L)._1 === "a.b+c@mail.example.com,ops@ex.org")
+    assert(out(2L)._2 === "US 1,234,567,998877")
+    assert(out(3L)._3 === Some("2024-01-05T00:00:00Z"), "first date wins")
+    // TLD-less never matches; an impossible date degrades to null,
+    // not an ANSI error (the reference's try/except fallback)
+    assert(out(4L)._1 === "" && out(4L)._3 === None)
+    assert(out(5L) === (("", "", None)))
+
+    // EAV roundtrip through the real store path: entitiesMap →
+    // eavStoreMap → eavExplode must type et_ as text and edate_ as a
+    // parsed date, and drop absent extractions entirely
+    val stored = rows.select(col("doc_id"),
+      graft.operators.PostStore.eavStoreMap(
+        EntityExtract.entitiesMap(col("text"))).as("entities"))
+    val eav = graft.operators.PostStore.eavExplode(stored, "entities")
+      .collect().map(r => (r.getLong(0), r.getAs[String]("field_key")) -> r)
+      .toMap
+    assert(eav((1L, "et_email")).getAs[String]("field_value")
+      === "a.b+c@mail.example.com,ops@ex.org")
+    assert(eav((1L, "et_email")).getAs[String]("field_type") === "text")
+    assert(eav((3L, "edate_posted")).getAs[String]("field_type") === "date")
+    assert(eav((3L, "edate_posted")).getAs[java.sql.Date]("date_value")
+      .toString === "2024-01-05")
+    assert(!eav.contains((5L, "et_email")),
+      "absent extractions must not become empty EAV fields")
+    assert(!eav.contains((4L, "edate_posted")))
+  }
+
   test("stratifiedKeep: deterministic, rate-monotone, partition-invariant") {
     import spark.implicits._
     import graft.operators.Curation
