@@ -26,10 +26,17 @@ object LinkGraph {
     * Semantics (per iteration, all integer ops):
     *   contrib(u→v) = rank(u) DIV outdeg(u)
     *   rank'(v)     = scale·(1000−damping)/1000
-    *                  + (damping · Σ contrib(·→v)) DIV 1000
-    * Dangling vertices (no outlinks) simply leak their mass — the
-    * standard simplified formulation; deterministic and identical in the
-    * oracle. Vertices nobody links to hold the base mass.
+    *                  + (damping · (Σ contrib(·→v) + share)) DIV 1000
+    * where `share` = 0 by default (dangling vertices simply leak their
+    * mass — the simplified formulation the oracle states), or, with
+    * `redistributeDangling=true`, the true-PageRank correction
+    * `share = (Σ_{outdeg(u)=0} rank(u)) DIV |V|`: at web scale ~20-30%
+    * of frontier URLs are sinks, and without the correction ranks
+    * systematically deflate and the frontier-priority ordering drifts.
+    * The correction stays EXACT in integer micro-units — one extra
+    * 1-row aggregate per iteration (the dangling-vertex set itself is
+    * iteration-invariant and computed once). Vertices nobody links to
+    * hold the base mass (+ the damped share when redistributing).
     *
     * Scale shape at 10^10 edges: `outdeg` is computed ONCE and rides on
     * the edge rows (one src-keyed aggregate + join, amortized across all
@@ -51,7 +58,8 @@ object LinkGraph {
     */
   def pageRank(vertices: DataFrame, edges: DataFrame, iterations: Int,
                dampingPermille: Long = 850L, scale: Long = 1000000L,
-               reliableCheckpoints: Boolean = false): DataFrame = {
+               reliableCheckpoints: Boolean = false,
+               redistributeDangling: Boolean = false): DataFrame = {
     require(iterations >= 0, s"iterations must be >= 0, got $iterations")
     require(dampingPermille >= 0L && dampingPermille <= 1000L,
       s"dampingPermille must be in [0,1000], got $dampingPermille")
@@ -68,16 +76,34 @@ object LinkGraph {
     val eDeg = e.join(e.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
       .persist()
     val base = scale * (1000L - dampingPermille) / 1000L
+    // dangling-vertex set: iteration-invariant, computed once; nV is a
+    // 1-value driver scalar (like the IVF centroid state — k×1 values,
+    // never data)
+    val dangling: Option[DataFrame] =
+      if (redistributeDangling)
+        Some(v.join(e.select(col("src").as("v")).distinct(), Seq("v"), "left_anti")
+          .persist())
+      else None
+    val nV = if (redistributeDangling) v.count() else 0L
     var ranks = v.withColumn("rank_micro", lit(scale))
     try {
       (1 to iterations).foreach { _ =>
+        // 1-row aggregate: the mass sitting on sinks this round,
+        // shared equally (integer DIV — exact, deterministic)
+        val share = dangling match {
+          case Some(d) if nV > 0L =>
+            ranks.join(d, Seq("v"), "left_semi")
+              .agg(coalesce(sum(col("rank_micro")), lit(0L)))
+              .head().getLong(0) / nV
+          case _ => 0L
+        }
         val contribs = eDeg
           .join(ranks.withColumnRenamed("v", "src"), "src")
           .select(col("dst"), expr("rank_micro DIV outdeg").as("c"))
           .groupBy("dst").agg(sum(col("c")).as("s"))
         ranks = ckpt(v.join(contribs, v("v") === contribs("dst"), "left")
           .select(col("v"), (lit(base) +
-            expr(s"($dampingPermille * coalesce(s, CAST(0 AS BIGINT))) DIV 1000"))
+            expr(s"($dampingPermille * (coalesce(s, CAST(0 AS BIGINT)) + $share)) DIV 1000"))
             .as("rank_micro")))
       }
       // each loop round already left `ranks` eagerly materialized by
@@ -86,7 +112,10 @@ object LinkGraph {
       // downgrade the lost-executor-safe contract. Only the
       // iterations==0 start frame still needs materializing.
       if (iterations == 0) ckpt(ranks) else ranks
-    } finally eDeg.unpersist()
+    } finally {
+      eDeg.unpersist()
+      dangling.foreach(_.unpersist())
+    }
   }
 
   /** Anchor-text aggregation: per LINK TARGET, the inbound-link count,

@@ -47,6 +47,44 @@ class LinkGraphSpec extends AnyFunSuite {
     assert(r1(2L) === 150000L && r1(3L) === 150000L)
   }
 
+  test("pageRank redistributeDangling matches a hand-computed iteration") {
+    // chain 0→1→2: vertex 2 is a sink. n=3, danglingSum=1000000,
+    // share = 1000000 DIV 3 = 333333.
+    //   rank'(0) = 150000 + 850·(0       + 333333) DIV 1000 =  433333
+    //   rank'(1) = 150000 + 850·(1000000 + 333333) DIV 1000 = 1283333
+    //   rank'(2) = rank'(1)                                 = 1283333
+    val vertices = Seq(0L, 1L, 2L).toDF("v")
+    val edges = Seq((0L, 1L), (1L, 2L)).toDF("src", "dst")
+    val got = LinkGraph.pageRank(vertices, edges, iterations = 1,
+        redistributeDangling = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(0L -> 433333L, 1L -> 1283333L, 2L -> 1283333L))
+    // flag off on the same graph: the sink's mass leaks instead
+    val leaky = LinkGraph.pageRank(vertices, edges, iterations = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(leaky === Map(0L -> 150000L, 1L -> 1000000L, 2L -> 1000000L))
+  }
+
+  test("pageRank redistributeDangling conserves Σrank up to integer truncation") {
+    // chain 0→1→…→9 (outdeg 1 everywhere: contributions divide
+    // exactly), vertex 9 dangling. Truncation per iteration is bounded
+    // by <1000 micro-units per vertex (the DIV 1000) plus <n from the
+    // share DIV — so after 5 iterations Σrank must still be within
+    // 5·(10·1 + 10) ≈ 100 micro-units of 10·scale, while the leaky
+    // default bleeds ~0.85·scale of sink mass per iteration.
+    val n = 10L
+    val vertices = (0L until n).toDF("v")
+    val edges = (0L until n - 1).map(i => (i, i + 1)).toDF("src", "dst")
+    def total(flag: Boolean): Long = LinkGraph.pageRank(vertices, edges,
+        iterations = 5, redistributeDangling = flag)
+      .agg(sum("rank_micro")).head().getLong(0)
+    val conserved = total(true)
+    assert(conserved >= n * 1000000L - 200L && conserved <= n * 1000000L,
+      s"redistributed total $conserved must stay within truncation of ${n * 1000000L}")
+    assert(total(false) < conserved - 1000000L,
+      "the leaky default must visibly lose the sink mass")
+  }
+
   test("pageRank conserves mass up to integer truncation on a dangling-free graph") {
     // ring of 10: every vertex outdeg 1, no dangling mass, no division
     // loss (rank DIV 1) -> total mass is exactly |V| * scale each round
