@@ -86,6 +86,7 @@ object SparkEntry {
     "q_domain_gate" -> (qDomainGate(_, _)),
     "q_chunk_tokens" -> (qChunkTokens(_, _)),
     "q_sessionize" -> (qSessionize(_, _)),
+    "q_stream_dedup" -> (qStreamDedup(_, _)),
     "q_contamination" -> (qContamination(_, _)),
     "q_fingerprint" -> (qFingerprint(_, _)),
     // dedup family
@@ -423,6 +424,19 @@ object SparkEntry {
         |FROM documents""".stripMargin,
     "q_sessionize" ->
       graft.streaming.Sessionize.batchSessionsOracleSql(21600L),
+    // streaming URL dedup: the expected emission set of the staged
+    // micro-batch replay, stated arithmetically (batch1 evens + batch2
+    // odds + the watermark-advance key + batch4 post-expiry re-emits)
+    "q_stream_dedup" ->
+      """SELECT doc_id AS url_hash, 1000 + doc_id % 997 AS sec
+        |FROM documents WHERE doc_id % 2 = 0
+        |UNION ALL
+        |SELECT doc_id, 3000 + doc_id % 997 FROM documents WHERE doc_id % 2 = 1
+        |UNION ALL
+        |SELECT -1, 10000000
+        |UNION ALL
+        |SELECT doc_id, 10000010 + doc_id % 997
+        |FROM documents WHERE doc_id % 2 = 0""".stripMargin,
     "q_contamination" ->
       """WITH toks AS (
         | SELECT doc_id, list_filter(regexp_split_to_array(lower(text),

@@ -416,6 +416,34 @@ object QueryCatalog {
         col("bench_docs_hit"))
   }
 
+  /** Streaming URL dedup, oracle-gated end to end
+    * ([[graft.streaming.StreamDedup.replayBatches]] drives the REAL
+    * `dropDuplicatesWithinWatermark` state store over four staged
+    * micro-batches; the fixture is driver-staged because MemoryStream
+    * is — verification-scale by design):
+    *  batch 1: even doc_ids arrive (sec 1000+id%997) → all emitted;
+    *  batch 2: EVERY doc_id arrives (sec 3000+id%997) → evens are
+    *    in-horizon repeats (suppressed by cross-batch state), odds are
+    *    first arrivals (emitted);
+    *  batch 3: a lone key −1 at sec 10^7 advances the watermark far
+    *    past every key's expiry;
+    *  batch 4: evens re-appear (sec 10^7+10+id%997) → legitimately
+    *    re-schedulable (re-crawl frequency semantics) → re-emitted.
+    * The sec offsets are mod-997 so no row is ever watermark-late at
+    * ANY scale factor. The oracle states the expected emission set
+    * arithmetically.
+    */
+  def qStreamDedup(spark: SparkSession, dir: String): DataFrame = {
+    val ids = t(spark, dir, "documents").select(col("doc_id"))
+      .collect().map(_.getLong(0)).sorted
+    val b1 = ids.filter(_ % 2 == 0).map(i => (i, 1000L + i % 997)).toSeq
+    val b2 = ids.map(i => (i, 3000L + i % 997)).toSeq
+    val b3 = Seq((-1L, 10000000L))
+    val b4 = ids.filter(_ % 2 == 0).map(i => (i, 10000010L + i % 997)).toSeq
+    graft.streaming.StreamDedup.replayBatches(spark, Seq(b1, b2, b3, b4),
+      horizon = "5000 seconds")
+  }
+
   /** Gap-timeout sessionization (6 h), batch twin of the
     * flatMapGroupsWithState streaming operator
     * ([[graft.streaming.Sessionize]]).

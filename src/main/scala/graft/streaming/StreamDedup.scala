@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Streaming URL dedup — the D1/D4 seen-set semantics as a genuine
@@ -34,6 +34,43 @@ object StreamDedup {
     discoveries
       .withWatermark("ts", horizon)
       .dropDuplicatesWithinWatermark("urlHash")
+
+  /** Drive the REAL streaming operator over pre-staged micro-batches
+    * of (urlHash, sec) rows and return the emitted rows as a batch
+    * DataFrame — the verification seam that lets a SQL oracle gate the
+    * streaming twin end to end: in-horizon suppression across
+    * micro-batches, watermark advance, state expiry and post-horizon
+    * re-emission all happen through the genuine
+    * `dropDuplicatesWithinWatermark` state store. Batches are
+    * driver-side Seqs: VERIFICATION-scale only (the production entry
+    * is [[dedupStream]] on a live readStream source).
+    */
+  def replayBatches(spark: SparkSession, batches: Seq[Seq[(Long, Long)]],
+                    horizon: String): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[(Long, Long)]
+    val in = ms.toDF().toDF("urlHash", "sec")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val name = s"graft_stream_dedup_replay_${replaySeq.incrementAndGet()}"
+    val q = dedupStream(in, horizon)
+      .select(col("urlHash"), col("sec"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    try {
+      batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    // pin the result: the memory-sink table is bound to the (stopped)
+    // streaming query; downstream writes want a standalone frame
+    val out = spark.table(name)
+      .select(col("urlHash").as("url_hash"), col("sec"))
+      .localCheckpoint(true)
+    spark.catalog.dropTempView(name)
+    out
+  }
+
+  private val replaySeq = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Batch twin for parity checks: first arrival per key by (ts, then
     * tie-break on every remaining column via min(struct)) — what the
