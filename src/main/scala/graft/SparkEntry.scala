@@ -98,12 +98,14 @@ object SparkEntry {
     "q_ngram_jaccard" -> (qNgramJaccard(_, _)),
     "q_paragraph_dedup" -> (qParagraphDedup(_, _)),
     "q_line_dedup" -> (qLineDedup(_, _)),
+    "q_dup_span_scrub" -> (qDupSpanScrub(_, _)),
     // link-graph analytics / retrieval
     "q_pagerank" -> (qPagerank(_, _)),
     "q_components" -> (qComponents(_, _)),
     "q_bm25_rank" -> (qBm25Rank(_, _)),
     "q_anchor_text" -> (qAnchorText(_, _)),
     "q_lm_familiarity" -> (qLmFamiliarity(_, _)),
+    "q_dsir_weights" -> (qDsirWeights(_, _)),
     "q_token_budget" -> (qTokenBudget(_, _)),
     "q_robots_sitemaps" -> (qRobotsSitemaps(_, _)),
     "q_dup_clusters" -> (qDupClusters(_, _)),
@@ -742,6 +744,56 @@ object SparkEntry {
         | md5(coalesce(string_agg(line, chr(10) ORDER BY pos)
         |   FILTER (WHERE keep), '')) AS kept_hash
         |FROM verdict GROUP BY doc_id""".stripMargin,
+    // Exact-substring span scrub: same synthesis, same k=8 grams on
+    // md5, same lag-window merged-interval arithmetic (fixed window
+    // length makes the running interval-end max lag(pos)+k), same
+    // NOT-EXISTS kept-token reconstruction.
+    "q_dup_span_scrub" ->
+      """WITH synth AS (
+        | SELECT doc_id, text || ' ' ||
+        |  CASE WHEN doc_id % 3 = 0
+        |   THEN 'the quick brown fox jumps over the lazy dog while winter rains flood the valley '
+        |   ELSE '' END ||
+        |  'unique closing marker ' || CAST(doc_id AS varchar) AS text
+        | FROM documents),
+        |toks AS (
+        | SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+        |   x -> length(x) > 0) AS tk
+        | FROM synth),
+        |grams0 AS (
+        | SELECT doc_id, tk, unnest(range(0, len(tk) - 8 + 1)) AS pos
+        | FROM toks WHERE len(tk) >= 8),
+        |grams AS (
+        | SELECT doc_id, pos, md5(array_to_string(tk[pos+1:pos+8], ' ')) AS h
+        | FROM grams0),
+        |dup AS (
+        | SELECT h FROM grams GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+        |flagged AS (
+        | SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (h)),
+        |merged AS (
+        | SELECT doc_id,
+        |  CAST(sum(CASE WHEN lg IS NULL THEN 8 ELSE least(8, pos - lg) END) AS BIGINT) AS n_covered,
+        |  CAST(sum(CASE WHEN lg IS NULL OR pos - lg > 8 THEN 1 ELSE 0 END) AS BIGINT) AS n_spans
+        | FROM (SELECT doc_id, pos, lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS lg
+        |       FROM flagged)
+        | GROUP BY doc_id),
+        |tokpos AS (
+        | SELECT doc_id, unnest(list_transform(range(1, len(tk) + 1),
+        |   i -> {'tpos': i - 1, 'tok': tk[i]}), recursive := true)
+        | FROM toks),
+        |kept AS (
+        | SELECT t.doc_id, string_agg(t.tok, ' ' ORDER BY t.tpos) AS kept_txt
+        | FROM tokpos t
+        | WHERE NOT EXISTS (SELECT 1 FROM flagged f
+        |   WHERE f.doc_id = t.doc_id AND t.tpos >= f.pos AND t.tpos < f.pos + 8)
+        | GROUP BY t.doc_id)
+        |SELECT s.doc_id,
+        | CAST(len(tk) AS BIGINT) AS n_tokens,
+        | CAST(coalesce(m.n_spans, 0) AS BIGINT) AS n_spans,
+        | CAST(coalesce(m.n_covered, 0) AS BIGINT) AS n_covered,
+        | md5(coalesce(k.kept_txt, '')) AS kept_hash
+        |FROM toks s LEFT JOIN merged m USING (doc_id)
+        | LEFT JOIN kept k USING (doc_id)""".stripMargin,
     // PageRank: the same 3 damped iterations unrolled in SQL, all
     // integer division — ranks must match bit-exactly.
     "q_pagerank" ->
@@ -866,6 +918,37 @@ object SparkEntry {
         | coalesce(pd.n_bigrams, 0) AS n_bigrams,
         | coalesce(pd.ilog_sum, 0) AS ilog_sum,
         | coalesce((1000 * pd.ilog_sum) // pd.n_bigrams, 0) AS familiarity_milli
+        |FROM documents d LEFT JOIN pd USING (doc_id)""".stripMargin,
+    // DSIR importance weights: same hashed uni+bigram feature space,
+    // same add-one ilog2 arithmetic, same truncating integer DIV.
+    "q_dsir_weights" ->
+      """WITH toks AS (
+        | SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+        |   '[^a-z0-9_'']+'), x -> length(x) > 0) AS tk,
+        |  lang = 'en' AS is_target
+        | FROM documents),
+        |feats AS (
+        | SELECT doc_id, is_target,
+        |  ('0x' || substr(md5(g), 1, 8))::BIGINT % 65536 AS f
+        | FROM (SELECT doc_id, is_target,
+        |    unnest(tk || CASE WHEN len(tk) >= 2
+        |      THEN list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])
+        |      ELSE CAST([] AS VARCHAR[]) END) AS g
+        |   FROM toks)),
+        |raw AS (SELECT f, CAST(count(*) AS BIGINT) AS c_r FROM feats GROUP BY 1),
+        |tgt AS (SELECT f, CAST(count(*) AS BIGINT) AS c_t
+        |        FROM feats WHERE is_target GROUP BY 1),
+        |pd AS (
+        | SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+        |  CAST(sum((length(bin(coalesce(c_t, 0) + 1)) - 1)
+        |         - (length(bin(c_r + 1)) - 1)) AS BIGINT) AS weight_sum
+        | FROM feats JOIN raw USING (f) LEFT JOIN tgt USING (f)
+        | GROUP BY 1)
+        |SELECT d.doc_id,
+        | CAST(coalesce(pd.n_feats, 0) AS BIGINT) AS n_feats,
+        | CAST(coalesce(pd.weight_sum, 0) AS BIGINT) AS weight_sum,
+        | CAST(coalesce((1000 * pd.weight_sum) // pd.n_feats, 0) AS BIGINT)
+        |   AS weight_milli
         |FROM documents d LEFT JOIN pd USING (doc_id)""".stripMargin,
     // Token-budget selection: the oracle is the INDEPENDENT single
     // global-cumsum formulation of the same greedy prefix.

@@ -230,4 +230,76 @@ object Curation {
         coalesce(col("ilog_sum"), lit(0L)).as("ilog_sum"),
         coalesce(col("familiarity_milli"), lit(0L)).as("familiarity_milli"))
   }
+
+  /** DSIR-style importance weight (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every
+    * document by how much more its hashed n-gram features look like a
+    * TARGET corpus than like the raw corpus —
+    * Σ_f [log n̂_target(f) − log n̂_raw(f)] over the document's feature
+    * occurrences; importance resampling then keeps the high-weight
+    * docs (pair with [[stratifiedSample]]/[[tokenBudgetSelect]]).
+    * Features are hashed unigrams+bigrams (the paper's own feature
+    * space), `portableHash(gram) % buckets` — hashing bounds BOTH
+    * count dimensions to ≤ `buckets` rows, so unlike the
+    * open-vocabulary [[lmFamiliarity]] bigram dimension these count
+    * tables broadcast at ANY corpus size. Log-probabilities use the
+    * repo's integer-exact surrogate ilog2(c+1) = length(bin(c+1)) − 1
+    * (add-one smoothing; no float log whose ulps could flip a weight
+    * across engines — both engines' integer DIV truncates toward
+    * zero, checked for the negative weights this score produces).
+    *
+    *   weight_milli = (1000 · Σ_occ [ilog2(c_t(f)+1) − ilog2(c_r(f)+1)])
+    *                  DIV n_feats              (0 when no features)
+    *
+    * Scale shape at 10^10 docs: one feature-hash count aggregate per
+    * distribution (map-side combinable, ≤ `buckets` output rows each),
+    * then one BROADCAST join back to the per-doc occurrences — after
+    * the two bounded aggregates there is no corpus-sized shuffle at
+    * all. The target distribution is defined in-corpus by
+    * `targetPred` (the paper samples a target domain; any predicate
+    * over the input row works).
+    *
+    * @return (idCol, n_feats, weight_sum, weight_milli)
+    */
+  def dsirWeights(df: DataFrame, idCol: String, textCol: String,
+                  targetPred: Column, buckets: Int = 65536): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    // posexplode + lead, never an array column inside a lambda (the
+    // projection-collapse O(n²) foot-gun) — same idiom as
+    // [[familiarityScore]]'s bigram builder.
+    val toks = df.select(col(idCol).as("doc_id_"),
+      targetPred.as("is_target"),
+      posexplode(filter(split(lower(col(textCol)), "[^a-z0-9_']+"),
+        t => length(t) > 0)).as(Seq("pos", "tok")))
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id_").orderBy("pos")
+    val withNext = toks.withColumn("nxt", lead(col("tok"), 1).over(wDoc))
+    val unis = withNext.select(col("doc_id_"), col("is_target"),
+      col("tok").as("g"))
+    val bis = withNext.filter(col("nxt").isNotNull)
+      .select(col("doc_id_"), col("is_target"),
+        concat_ws(" ", col("tok"), col("nxt")).as("g"))
+    val feats = unis.unionByName(bis)
+      .select(col("doc_id_"), col("is_target"),
+        pmod(TextAnalysis.portableHash(col("g")), lit(buckets)).as("f"))
+    val raw = feats.groupBy("f").agg(count(lit(1)).as("c_r"))
+    val tgt = feats.filter(col("is_target"))
+      .groupBy("f").agg(count(lit(1)).as("c_t"))
+    def ilog2p1(c: Column): Column =
+      (length(bin(coalesce(c, lit(0L)) + 1)) - 1).cast("long")
+    val perDoc = feats
+      .join(broadcast(raw), Seq("f"))
+      .join(broadcast(tgt), Seq("f"), "left")
+      .select(col("doc_id_"),
+        (ilog2p1(col("c_t")) - ilog2p1(col("c_r"))).as("w"))
+      .groupBy("doc_id_")
+      .agg(count(lit(1)).as("n_feats"), sum(col("w")).as("weight_sum"))
+      .withColumn("weight_milli", expr("(1000 * weight_sum) DIV n_feats"))
+    df.select(col(idCol).as("doc_id_"))
+      .join(perDoc, Seq("doc_id_"), "left")
+      .select(col("doc_id_").as(idCol),
+        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+        coalesce(col("weight_sum"), lit(0L)).as("weight_sum"),
+        coalesce(col("weight_milli"), lit(0L)).as("weight_milli"))
+  }
 }

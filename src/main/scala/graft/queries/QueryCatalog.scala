@@ -864,6 +864,29 @@ object QueryCatalog {
     Dedup.lineFrequencyDedup(synth, "doc_id", "text", maxDf = 5, minLen = 20)
   }
 
+  /** Exact-substring span scrub ([[Dedup.duplicateSpanScrub]], k=8,
+    * minDf=2): a 15-token boilerplate sentence is appended to every
+    * doc_id%3==0 document (its interior 8-grams repeat corpus-wide →
+    * flagged and scrubbed; the grams crossing from each document's own
+    * tail into the sentence stay unique → boundary tokens survive at
+    * gram resolution), and every document gets a doc_id-bearing
+    * closing marker whose grams are globally unique (proves non-
+    * duplicated text survives). Natural cross-document 8-gram repeats
+    * in the generated corpus are scrubbed identically by both engines
+    * — the oracle states the same synthesis and the same
+    * gram/lag-merge/NOT-EXISTS arithmetic.
+    */
+  def qDupSpanScrub(spark: SparkSession, dir: String): DataFrame = {
+    val synth = t(spark, dir, "documents").select(col("doc_id"),
+      concat(col("text"), lit(" "),
+        when(col("doc_id") % 3 === 0, lit("the quick brown fox jumps " +
+          "over the lazy dog while winter rains flood the valley "))
+          .otherwise(lit("")),
+        lit("unique closing marker "), col("doc_id").cast("string"))
+        .as("text"))
+    Dedup.duplicateSpanScrub(synth, "doc_id", "text", k = 8, minDf = 2)
+  }
+
   // ---------- link-graph analytics ----------
 
   /** PageRank frontier priority ([[LinkGraph.pageRank]], 3 iterations,
@@ -961,6 +984,17 @@ object QueryCatalog {
     */
   def qLmFamiliarity(spark: SparkSession, dir: String): DataFrame =
     Curation.familiarityScore(t(spark, dir, "documents"), "doc_id", "text")
+
+  /** DSIR importance weights ([[Curation.dsirWeights]]): hashed
+    * uni+bigram log-ratio of an in-corpus target distribution
+    * (lang = 'en' — the data-mixture steering knob) against the raw
+    * corpus, integer-exact. The oracle states the same hashing,
+    * counting and ilog2 arithmetic verbatim; the negative weights
+    * exercise the truncating-DIV parity both engines share.
+    */
+  def qDsirWeights(spark: SparkSession, dir: String): DataFrame =
+    Curation.dsirWeights(t(spark, dir, "documents"), "doc_id", "text",
+      col("lang") === "en")
 
   /** Greedy token-budget selection ([[Curation.tokenBudgetSelect]]):
     * best 45% of corpus tokens by a deterministic pseudo-quality score

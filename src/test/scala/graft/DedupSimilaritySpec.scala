@@ -397,6 +397,34 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(out(4L) === ((2L, 2L, h(""))))      // both in-doc copies drop
   }
 
+  test("duplicate-span scrub: shared spans merge and drop, unique text survives") {
+    // k=3 grams; shared 5-token span "a b c d e" -> 3 shared grams that
+    // must MERGE into one covered span of 5 tokens in every carrier.
+    val rows = Seq(
+      (0L, "a b c d e f g"),                      // span at head
+      (1L, "x a b c d e y"),                      // same span mid-doc
+      (2L, "p1 q1 r1 s1 t1 u1"),                  // fully unique
+      (3L, "a b"),                                // < k tokens: no grams
+      (4L, "m m m m"),                            // in-doc repeat, docf=1
+      (5L, "a b c d e f1 f2 f3 p q r s t"),       // TWO disjoint shared spans
+      (6L, "a b c d e g1 g2 g3 p q r s t"))
+    val out = Dedup.duplicateSpanScrub(rows.toDF("doc_id", "text"),
+        "doc_id", "text", k = 3, minDf = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    def h(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out(0L) === ((7L, 1L, 5L, h("f g"))))
+    assert(out(1L) === ((7L, 1L, 5L, h("x y"))))
+    assert(out(2L) === ((6L, 0L, 0L, h("p1 q1 r1 s1 t1 u1"))))
+    assert(out(3L) === ((2L, 0L, 0L, h("a b"))))   // sub-k doc kept whole
+    // 'm m m' repeats only WITHIN doc 4: document frequency is 1 -> kept
+    assert(out(4L) === ((4L, 0L, 0L, h("m m m m"))))
+    // two disjoint merged spans (gap 6 > k), each 5 tokens
+    assert(out(5L) === ((13L, 2L, 10L, h("f1 f2 f3"))))
+    assert(out(6L) === ((13L, 2L, 10L, h("g1 g2 g3"))))
+  }
+
   test("codegen'd vector kernels are bit-identical to the HOF folds") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._

@@ -383,4 +383,33 @@ class StateAndOperatorsSpec extends AnyFunSuite {
     assert(out(6L) === ((0L, 0L, 0L))) // single token: no bigrams
     assert(out(1L)._3 > out(5L)._3, "familiar text must outscore gibberish")
   }
+
+  test("dsirWeights: target-like docs outweigh raw-only, DIV truncates toward zero") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "en", "apple banana"),   // target doc
+      (2L, "de", "apple cherry"),   // raw-only vocabulary
+      (3L, "de", ""),               // no features at all
+      (4L, "en", "solo"))           // single token: unigram only
+    val out = graft.operators.Curation
+      .dsirWeights(docs.toDF("doc_id", "lang", "text"), "doc_id", "text",
+        col("lang") === "en")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // feature counts (no hash collisions among these 6 grams):
+    //   raw: apple=2 banana=1 cherry=1 'apple banana'=1 'apple cherry'=1 solo=1
+    //   tgt: apple=1 banana=1 'apple banana'=1 solo=1
+    // ilog2(c+1): raw apple=1 (c=2 -> ilog2(3)=1), every other raw=1;
+    //   tgt present=1, tgt absent=0.
+    // doc 1: apple 1-1=0, banana 1-1=0, bigram 1-1=0 -> sum 0
+    assert(out(1L) === ((3L, 0L, 0L)))
+    // doc 2: apple 0, cherry -1, bigram -1 -> sum -2; (1000*-2) DIV 3
+    //   must TRUNCATE toward zero: -666 (both engines' semantics)
+    assert(out(2L) === ((3L, -2L, -666L)))
+    assert(out(3L) === ((0L, 0L, 0L)))
+    assert(out(4L) === ((1L, 0L, 0L)))
+    assert(out(1L)._3 > out(2L)._3, "target-like text must outweigh raw-only")
+  }
 }

@@ -516,6 +516,50 @@ class StreamingAndPlanSpec extends AnyFunSuite {
     }
   }
 
+  test("dsirWeights plan: hashed-feature count dims broadcast by construction") {
+    // the DSIR feature space is hashed to `buckets` ids, so BOTH count
+    // tables are bounded and must broadcast EVEN with auto-broadcast
+    // off (i.e. by explicit hint) — the opposite discipline of the
+    // unbounded familiarityScore/topTerms dimensions.
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeLike
+    withAutoBroadcastOff {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val out = graft.operators.Curation.dsirWeights(docs, "doc_id", "text",
+        org.apache.spark.sql.functions.col("lang") === "en")
+      assert(out.count() > 0)
+      val broadcasts = planNodes(out.queryExecution.executedPlan)
+        .collect { case b: BroadcastExchangeLike => b }
+      assert(broadcasts.size === 2,
+        s"got: ${broadcasts.map(_.output.map(_.name))}")
+      assert(broadcasts.forall(_.output.map(_.name).toSet
+        .subsetOf(Set("f", "c_r", "c_t"))),
+        "only the bounded hashed-feature count tables may broadcast")
+    }
+  }
+
+  test("duplicateSpanScrub plan: per-doc windows only, no hinted broadcast") {
+    // every window must partition by the document id (bounded by doc
+    // length, never corpus-global), and the duplicated-gram dimension
+    // (unbounded on web text) must reach its semi-join as a shuffle.
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeLike
+    import org.apache.spark.sql.execution.window.WindowExec
+    withAutoBroadcastOff {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val out = graft.operators.Dedup.duplicateSpanScrub(docs, "doc_id", "text")
+      assert(out.count() > 0)
+      val nodes = planNodes(out.queryExecution.executedPlan)
+      val windows = nodes.collect { case w: WindowExec => w }
+      assert(windows.nonEmpty, "the coverage pass should window per doc")
+      windows.foreach { w =>
+        assert(w.partitionSpec.flatMap(_.references.toSeq)
+          .map(_.name).toSet === Set("doc_id"),
+          s"window must partition by the document id only:\n$w")
+      }
+      assert(nodes.collect { case b: BroadcastExchangeLike => b }.isEmpty,
+        "the unbounded duplicated-gram dimension must not broadcast under a hint")
+    }
+  }
+
   private def withAutoBroadcastOff[T](body: => T): T = {
     val prevStatic = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
     val prevAqe = spark.conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
