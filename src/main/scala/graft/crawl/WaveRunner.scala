@@ -118,14 +118,31 @@ final class WaveRunner(
   private[graft] var deferInjector: Option[Column] = None
 
   private val timing = sys.env.contains("GRAFT_TIMING")
+
+  /** Wall seconds per phase, summed across waves (label with the
+    * per-wave "wN " prefix stripped, e.g. "pop+stage",
+    * "fetch+extract+stage", "expand+stage-new"). Always accumulated —
+    * the cost is one nanoTime pair around phases that are each whole
+    * Spark jobs — so the bench can report PER-PHASE scaling (the
+    * evidence that each phase parallelizes; a shared-socket wall-clock
+    * ratio alone cannot separate engine serialism from memory-bus
+    * saturation). Note "stage" is the parent of the pop/fetch/expand
+    * phases — consumers must not sum it with its children.
+    */
+  private[graft] val phaseSeconds =
+    scala.collection.mutable.Map.empty[String, Double].withDefaultValue(0.0)
+
   private def timed[T](label: String)(f: => T): T = {
-    if (!timing) f
-    else {
-      val t0 = System.nanoTime()
-      val r = f
-      println(f"[graft-timing] $label: ${(System.nanoTime() - t0) / 1e9}%.2fs")
-      r
+    val t0 = System.nanoTime()
+    val r = f
+    val sec = (System.nanoTime() - t0) / 1e9
+    val phase = label.indexOf(' ') match {
+      case -1 => label
+      case i  => label.substring(i + 1)
     }
+    phaseSeconds.synchronized { phaseSeconds(phase) += sec }
+    if (timing) println(f"[graft-timing] $label: $sec%.2fs")
+    r
   }
 
   // codegen'd scalar functions used in hot projections (idempotent)
