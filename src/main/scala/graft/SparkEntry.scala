@@ -107,6 +107,9 @@ object SparkEntry {
     "q_lm_familiarity" -> (qLmFamiliarity(_, _)),
     "q_dsir_weights" -> (qDsirWeights(_, _)),
     "q_token_budget" -> (qTokenBudget(_, _)),
+    "q_lang_mix" -> (qLangMix(_, _)),
+    "q_seq_pack" -> (qSeqPack(_, _)),
+    "q_bpe_pairs" -> (qBpePairs(_, _)),
     "q_robots_sitemaps" -> (qRobotsSitemaps(_, _)),
     "q_dup_clusters" -> (qDupClusters(_, _)),
     "q_entity_extract" -> (qEntityExtract(_, _)),
@@ -968,6 +971,69 @@ object SparkEntry {
         | FROM base)
         |SELECT doc_id, score, n_tokens
         |FROM r CROSS JOIN b WHERE run <= b.budget""".stripMargin,
+    // Per-group token-budget mixing: the oracle is the independent
+    // per-group single-cumsum formulation of the same greedy prefix,
+    // budgets stated per language.
+    "q_lang_mix" ->
+      """WITH base AS (
+        | SELECT doc_id, lang,
+        |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |   ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT)
+        |   AS n_tokens,
+        |  CAST((doc_id * 37) % 100 AS BIGINT) AS score
+        | FROM documents),
+        |b AS (
+        | SELECT lang,
+        |  (sum(n_tokens) * (CASE WHEN lang = 'en' THEN 30 ELSE 60 END)) // 100
+        |   AS budget
+        | FROM base GROUP BY 1),
+        |r AS (
+        | SELECT doc_id, lang, score, n_tokens,
+        |  sum(n_tokens) OVER (PARTITION BY lang ORDER BY score DESC, doc_id ASC
+        |    ROWS UNBOUNDED PRECEDING) AS run
+        | FROM base)
+        |SELECT doc_id, lang, score, n_tokens
+        |FROM r JOIN b USING (lang) WHERE run <= b.budget""".stripMargin,
+    // Sequence packing: the oracle states the engine's two-level
+    // cumulative offsets as ONE global window cumsum over the same
+    // deterministic (bucket, doc_id) order.
+    "q_seq_pack" ->
+      """WITH base AS (
+        | SELECT doc_id,
+        |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |   ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT)
+        |   AS n_tokens,
+        |  ('0x' || substr(md5('pack:' || CAST(doc_id AS varchar)), 1, 8))::BIGINT
+        |   % 64 AS bucket
+        | FROM documents),
+        |r AS (
+        | SELECT doc_id, n_tokens, bucket,
+        |  CAST(coalesce(sum(n_tokens) OVER (ORDER BY bucket, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |   AS tok_offset
+        | FROM base WHERE n_tokens > 0)
+        |SELECT doc_id, n_tokens, CAST(bucket AS BIGINT) AS bucket, tok_offset,
+        | tok_offset // 512 AS seq_first,
+        | (tok_offset + n_tokens - 1) // 512 AS seq_last,
+        | ((tok_offset + n_tokens - 1) // 512) - (tok_offset // 512) + 1
+        |  AS n_seqs
+        |FROM r""".stripMargin,
+    // BPE merge-pair counts: same tokenizer, same two-stage collapse
+    // (vocabulary counts, then per-distinct-word adjacent pairs).
+    "q_bpe_pairs" ->
+      """WITH w AS (
+        | SELECT word, CAST(count(*) AS BIGINT) AS wc FROM (
+        |  SELECT unnest(list_filter(regexp_split_to_array(lower(text),
+        |    '[^a-z0-9_'']+'), x -> length(x) > 0)) AS word
+        |  FROM documents)
+        | GROUP BY 1),
+        |p AS (
+        | SELECT unnest(list_transform(range(1, length(word)),
+        |   i -> substr(word, CAST(i AS INT), 2))) AS pair, wc
+        | FROM w WHERE length(word) >= 2)
+        |SELECT pair, CAST(count(*) AS BIGINT) AS n_positions,
+        | CAST(sum(wc) AS BIGINT) AS pair_count
+        |FROM p GROUP BY 1 HAVING sum(wc) >= 2""".stripMargin,
     // Robots sitemap discovery: the oracle states the advertised
     // sitemap URLs arithmetically (the Spark side extracts them from
     // synthesized robots.txt bytes through the real line parser).

@@ -206,6 +206,46 @@ object TextAnalysis {
         col("rank"))
   }
 
+  /** BPE merge-candidate statistics — the counting kernel of one
+    * byte-pair-encoding training iteration (Sennrich et al. 2016,
+    * "Neural Machine Translation of Rare Words with Subword Units"):
+    * adjacent character-pair frequencies over the corpus vocabulary,
+    * occurrence-weighted by word frequency. The highest-`pair_count`
+    * row is exactly the pair a BPE trainer would merge first; rerun
+    * over re-segmented words to iterate (tokenizer training is a
+    * corpus-scale pipeline stage — the vocabulary must be counted
+    * where the data lives, not on one machine).
+    *
+    * Two-stage collapse, each stage shrinking the data:
+    *  1. word-keyed count aggregate (map-side combine collapses the
+    *     Zipf head early; output = distinct vocabulary, ≪ corpus);
+    *  2. per-DISTINCT-word adjacent-pair explode (bounded by word
+    *     length, ~tens) → pair-keyed aggregate whose output dimension
+    *     is ≤ |charset|² — bounded regardless of corpus size.
+    *
+    * `n_positions` counts the (distinct word, position) slots a pair
+    * occupies; `pair_count` is the occurrence-weighted total (the BPE
+    * merge count). `minPairCount` prunes the tail below the merge
+    * threshold. Tokenization matches [[topTerms]]: lowercased,
+    * split on `[^a-z0-9_']+`.
+    */
+  def bpePairCounts(df: org.apache.spark.sql.DataFrame, textCol: String,
+                    minPairCount: Long = 1L)
+      : org.apache.spark.sql.DataFrame = {
+    val toks = filter(split(lower(col(textCol)), "[^a-z0-9_']+"),
+      t => length(t) > 0)
+    val vocab = df.select(explode(toks).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("wc"))
+      .filter(length(col("word")) >= 2)
+    vocab
+      .select(col("word"), col("wc"),
+        explode(sequence(lit(1), length(col("word")) - 1)).as("i"))
+      .select(expr("substring(word, i, 2)").as("pair"), col("wc"))
+      .groupBy(col("pair"))
+      .agg(count(lit(1)).as("n_positions"), sum(col("wc")).as("pair_count"))
+      .filter(col("pair_count") >= minPairCount)
+  }
+
   /** Gopher-style repetition signals (Rae et al. 2021, "Scaling
     * Language Models", Table A1: repetition filters): per-document
     * top-bigram fraction (share of all word-bigram occurrences taken

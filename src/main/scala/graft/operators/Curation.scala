@@ -177,6 +177,126 @@ object Curation {
         max(col(valueCol)).as("max_value"))
   }
 
+  /** Per-group greedy token-budget selection — the data-MIXTURE
+    * assembly step (rebalance languages/domains to target token
+    * shares, the public "data mixing" stage of every LLM corpus
+    * recipe): within each group keep documents in (score desc, id asc)
+    * order until that group's own token budget is exhausted. Exactly
+    * [[tokenBudgetSelect]] generalized per group — same two-level
+    * decomposition (per-(group, score) bucket totals + cumulative over
+    * the bounded score dimension, per-doc ordering only inside each
+    * group's single boundary bucket) — but the budgets arrive as a
+    * DATAFRAME (group → budget), joined on group, so unlike the global
+    * variant NO driver-side scalar collect is needed at all.
+    *
+    * Scale shape at 10^10 docs: one (group, score) aggregate
+    * (map-side combinable), a window over the (group, score)
+    * DIMENSION (bounded: |groups| × |scores| — the documented
+    * bounded-cardinality exception), one (group, score)-keyed join
+    * back, and a per-doc window over each group's one boundary bucket
+    * only. The budget dimension (one row per group) is join-keyed,
+    * never hinted broadcast: group cardinality is the caller's
+    * (languages: hundreds; domains: unbounded) — AQE picks broadcast
+    * when the observed size allows, same reasoning as [[domainGate]].
+    *
+    * @param budgets one row per group: (groupCol, `budget` long).
+    *                Groups absent from `budgets` select nothing.
+    * @return kept rows only: (idCol, groupCol, score, n_tokens)
+    */
+  def tokenBudgetSelectPerGroup(df: DataFrame, idCol: String,
+                                groupCol: String, tokens: Column,
+                                score: Column,
+                                budgets: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(idCol), col(groupCol),
+      tokens.cast("long").as("n_tokens"), score.cast("long").as("score"))
+    val wS = Window.partitionBy(groupCol).orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = base.groupBy(col(groupCol), col("score"))
+      .agg(sum(col("n_tokens")).as("bucket_tokens"))
+      .withColumn("cum_total", sum(col("bucket_tokens")).over(wS))
+      .withColumn("cum_before", col("cum_total") - col("bucket_tokens"))
+      .drop("bucket_tokens")
+      .join(budgets.select(col(groupCol), col("budget").cast("long").as("budget")),
+        Seq(groupCol))
+    val joined = base.join(cum, Seq(groupCol, "score"))
+    val full = joined.filter(col("cum_total") <= col("budget"))
+    val wB = Window.partitionBy(col(groupCol), col("score"))
+      .orderBy(col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val boundary = joined
+      .filter(col("cum_before") <= col("budget") &&
+        col("cum_total") > col("budget"))
+      .withColumn("cum_in", sum(col("n_tokens")).over(wB))
+      .filter(col("cum_before") + col("cum_in") <= col("budget"))
+      .drop("cum_in")
+    full.unionByName(boundary)
+      .select(col(idCol), col(groupCol), col("score"), col("n_tokens"))
+  }
+
+  /** Concat-and-chop sequence packing — the step that turns a curated
+    * document set into fixed-length training sequences (the public
+    * GPT-style pretraining layout: concatenate all token streams in a
+    * deterministic order, cut every `seqLen` tokens; a document may
+    * straddle a cut). This operator computes, per document, its global
+    * token offset and the first/last sequence index it lands in —
+    * the shuffle-free metadata a downstream packer needs to emit
+    * sequence shards independently per partition.
+    *
+    * The global order is (bucket, id) with
+    * `bucket = portableHash(salt ':' id) % buckets` — deterministic
+    * under any partitioning/retry/resume (no `rand()`), and the
+    * global offset is an exact two-level cumulative sum, NOT a global
+    * ordered window (a single-partition sort at 10^10 docs):
+    *
+    *  1. per-bucket token totals (`buckets` rows) + a cumulative sum
+    *     over the bucket DIMENSION → each bucket's starting offset;
+    *  2. a per-doc cumulative window WITHIN each bucket (partition-
+    *     bounded: ~n/`buckets` rows — size `buckets` ∝ corpus so a
+    *     bucket's rows fit one task).
+    *
+    * The oracle states the same offsets as ONE global window cumsum
+    * ordered by (bucket, id) — an independent formulation.
+    *
+    * Zero-token documents are dropped (they occupy no sequence).
+    *
+    * @return (idCol, n_tokens, bucket, tok_offset, seq_first,
+    *         seq_last, n_seqs) — all counters long, sequences of
+    *         `seqLen` tokens indexed from 0.
+    */
+  def sequencePack(df: DataFrame, idCol: String, tokens: Column,
+                   seqLen: Long, buckets: Int,
+                   salt: String = "pack"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(seqLen >= 1, s"seqLen must be >= 1, got $seqLen")
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val base = df.select(col(idCol),
+      tokens.cast("long").as("n_tokens"),
+      pmod(TextAnalysis.portableHash(
+        concat(lit(s"$salt:"), col(idCol).cast("string"))), lit(buckets))
+        .cast("long").as("bucket"))
+      .filter(col("n_tokens") > 0)
+    val wBkt = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val starts = base.groupBy(col("bucket"))
+      .agg(sum(col("n_tokens")).as("bt"))
+      .withColumn("bucket_start", sum(col("bt")).over(wBkt) - col("bt"))
+      .drop("bt")
+    val wIn = Window.partitionBy(col("bucket")).orderBy(col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base
+      .withColumn("intra_end", sum(col("n_tokens")).over(wIn))
+      .join(starts, Seq("bucket"))
+      .withColumn("tok_offset",
+        col("bucket_start") + col("intra_end") - col("n_tokens"))
+      .withColumn("seq_first", expr(s"tok_offset DIV ${seqLen}L"))
+      .withColumn("seq_last",
+        expr(s"(tok_offset + n_tokens - 1) DIV ${seqLen}L"))
+      .withColumn("n_seqs", col("seq_last") - col("seq_first") + 1)
+      .select(col(idCol), col("n_tokens"), col("bucket"), col("tok_offset"),
+        col("seq_first"), col("seq_last"), col("n_seqs"))
+  }
+
   /** Corpus-conditioned LM-familiarity score — the integer-exact
     * surrogate of the CCNet/RefinedWeb "filter by language-model
     * perplexity" stage (Wenzek et al. 2020 score documents under a

@@ -1014,6 +1014,47 @@ object QueryCatalog {
       (col("doc_id") * 37) % 100, budget)
   }
 
+  /** Per-group token-budget mixing
+    * ([[Curation.tokenBudgetSelectPerGroup]]): rebalance the corpus to
+    * per-language token shares — en capped at 30% of its own tokens,
+    * every other language at 60% (the data-mixture knob). Budgets are
+    * computed as a DATAFRAME joined on group (no driver scalar at
+    * all); the same deterministic pseudo-score as q_token_budget
+    * forces the boundary tie-break path to run inside several groups
+    * at once. The oracle states the selection as one per-group window
+    * cumsum — the independent formulation.
+    */
+  def qLangMix(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val tokens = TextAnalysis.tokenCount(col("text"))
+    val budgets = docs.groupBy(col("lang"))
+      .agg(sum(tokens.cast("long")).as("tot"))
+      .select(col("lang"),
+        expr("(tot * (CASE WHEN lang = 'en' THEN 30 ELSE 60 END)) DIV 100")
+          .as("budget"))
+    Curation.tokenBudgetSelectPerGroup(docs, "doc_id", "lang", tokens,
+      (col("doc_id") * 37) % 100, budgets)
+  }
+
+  /** Concat-chop sequence packing ([[Curation.sequencePack]]): global
+    * token offsets + first/last 512-token training-sequence index per
+    * doc, deterministic (bucket, doc_id) order over 64 hash buckets.
+    * The oracle states the same offsets as ONE global window cumsum —
+    * the independent formulation of the engine's two-level sum.
+    */
+  def qSeqPack(spark: SparkSession, dir: String): DataFrame =
+    Curation.sequencePack(t(spark, dir, "documents"), "doc_id",
+      TextAnalysis.tokenCount(col("text")), seqLen = 512L, buckets = 64)
+
+  /** BPE merge-candidate counts ([[TextAnalysis.bpePairCounts]]):
+    * occurrence-weighted adjacent character-pair frequencies over the
+    * corpus vocabulary — one tokenizer-training iteration's counting
+    * kernel, pruned below pair_count 2.
+    */
+  def qBpePairs(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bpePairCounts(t(spark, dir, "documents"), "text",
+      minPairCount = 2L)
+
   /** Robots-advertised sitemap discovery
     * ([[graft.operators.RobotsLoader.sitemapUrls]]): synthetic
     * robots.txt pages (one per doc, keyed by source host) carry one

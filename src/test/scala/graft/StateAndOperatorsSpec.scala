@@ -332,6 +332,67 @@ class StateAndOperatorsSpec extends AnyFunSuite {
     assert(run(total) === rows.map(_._1).toSet)
   }
 
+  test("tokenBudgetSelectPerGroup: per-group greedy prefix, DataFrame budgets") {
+    import spark.implicits._
+    // heavy score ties inside each group -> boundary path runs per group
+    val rows = (1L to 60L).map(i =>
+      (i, if (i % 3 == 0) "en" else "de", 10L + i % 7, (i * 3) % 5))
+    val df = rows.toDF("doc_id", "lang", "n_toks", "sc")
+    def run(budgets: Seq[(String, Long)]): Set[Long] = graft.operators.Curation
+      .tokenBudgetSelectPerGroup(df, "doc_id", "lang", col("n_toks"),
+        col("sc"), budgets.toDF("lang", "budget"))
+      .collect().map(_.getLong(0)).toSet
+    // independent flat formulation, greedy within each group
+    def flat(budgets: Map[String, Long]): Set[Long] =
+      rows.groupBy(_._2).flatMap { case (g, rs) =>
+        var acc = 0L
+        val b = budgets.getOrElse(g, -1L)
+        rs.sortBy { case (id, _, _, sc) => (-sc, id) }.flatMap {
+          case (id, _, nt, _) =>
+            acc += nt; if (b >= 0 && acc <= b) Some(id) else None
+        }
+      }.toSet
+    val totals = rows.groupBy(_._2).map { case (g, rs) => g -> rs.map(_._3).sum }
+    for (frac <- Seq(0L, 3L, 10L)) {
+      val b = totals.map { case (g, t) => g -> (if (frac == 0) 0L else t / frac) }
+      assert(run(b.toSeq) === flat(b), s"frac $frac")
+    }
+    // a group absent from the budgets frame selects nothing
+    val enOnly = Seq("en" -> totals("en"))
+    assert(run(enOnly) === flat(Map("en" -> totals("en"))))
+    assert(run(enOnly).forall(id => id % 3 == 0))
+    // full budgets keep everything
+    assert(run(totals.toSeq) === rows.map(_._1).toSet)
+  }
+
+  test("sequencePack: two-level offsets equal the flat concat order; chop math") {
+    import spark.implicits._
+    val rows = (1L to 80L).map(i => (i, s"d$i", i % 9)) // some zero-token docs
+    val df = rows.map { case (i, _, nt) => (i, nt) }.toDF("doc_id", "nt")
+    val out = graft.operators.Curation
+      .sequencePack(df, "doc_id", col("nt"), seqLen = 7L, buckets = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    // zero-token docs dropped
+    assert(out.length === rows.count(_._3 > 0))
+    // offsets must be the exact cumsum of the (bucket, doc_id) order
+    val ordered = out.sortBy { case (id, _, bkt, _, _, _, _) => (bkt, id) }
+    var off = 0L
+    ordered.foreach { case (id, nt, _, tokOff, sf, sl, ns) =>
+      assert(tokOff === off, s"doc $id offset")
+      assert(sf === tokOff / 7 && sl === (tokOff + nt - 1) / 7, s"doc $id chop")
+      assert(ns === sl - sf + 1)
+      off += nt
+    }
+    // adjacent sequences are gap-free: total tokens == final offset sum
+    assert(off === rows.filter(_._3 > 0).map(_._3).sum)
+    // partition invariance
+    val out7 = graft.operators.Curation
+      .sequencePack(df.repartition(7), "doc_id", col("nt"), 7L, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    assert(out7 === out.map(t => (t._1, t._4)).toMap)
+  }
+
   test("valueDeciles equals per-row ntile for every tie/size shape") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window

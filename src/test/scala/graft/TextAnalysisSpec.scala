@@ -132,6 +132,23 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(top((3L, 2)) === ("common", 1L))
   }
 
+  test("bpePairCounts: occurrence-weighted adjacent pairs, minPairCount prunes") {
+    // vocab: abab(wc=2), ab(wc=1), cd(wc=1), x(len 1 -> skipped)
+    val docs = Seq(
+      1L -> "abab ab x",
+      2L -> "ABAB cd!").toDF("doc_id", "text")
+    def run(min: Long) = TextAnalysis.bpePairCounts(docs, "text", min)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val all = run(1L)
+    // 'ab': positions 1,3 of abab + position 1 of ab -> n_positions 3,
+    //       pair_count 2+2+1 = 5; 'ba': 1 position in abab, count 2
+    assert(all === Map("ab" -> ((3L, 5L)), "ba" -> ((1L, 2L)),
+      "cd" -> ((1L, 1L))))
+    // the argmax row is the pair a BPE trainer merges first
+    assert(all.maxBy(_._2._2)._1 === "ab")
+    assert(run(2L) === all - "cd") // prune below the merge threshold
+  }
+
   test("repetitionProfile: bigram occupancy + duplicate pseudo-lines") {
     // doc 1: "a b" bigram repeats; two identical 2-token lines of 4
     //   tokens: a b | a b -> toks [a,b,a,b], bigrams: "a b","b a","a b"
