@@ -400,6 +400,70 @@ class StreamingAndPlanSpec extends AnyFunSuite {
     }
   }
 
+  test("sequencePack plan: no row-granularity global sort; intra windows per bucket") {
+    // the global token offset must NEVER be one global ordered window
+    // (a single-partition sort at 10^10 docs): every WindowExec either
+    // sits above an aggregate (the bucket-DIMENSION cumulative, <=
+    // `buckets` rows) or partitions by the hash bucket (intra-bucket
+    // per-doc cumulative — one task per bucket, sized by `buckets`).
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val out = SparkEntry.queries("q_seq_pack")(spark, sfDir)
+    assert(out.count() > 0)
+    val windows = planNodes(out.queryExecution.executedPlan)
+      .collect { case w: WindowExec => w }
+    assert(windows.nonEmpty)
+    windows.foreach { w =>
+      val aboveAgg = planNodes(w.child).exists {
+        case _: BaseAggregateExec => true
+        case _ => false
+      }
+      val perBucket = w.partitionSpec.flatMap(_.references.toSeq)
+        .map(_.name).toSet == Set("bucket")
+      assert(aboveAgg || perBucket,
+        s"row-granularity window without bucket partitioning:\n$w")
+    }
+  }
+
+  test("tokenBudgetSelectPerGroup plan: windows over the dim or the boundary bucket") {
+    // same discipline as q_token_budget/q_length_deciles, per group:
+    // the cumulative runs over the (group, score) DIMENSION (above an
+    // aggregate); only the boundary tie-break window touches rows, and
+    // it must partition by (group, score) — one score bucket per group.
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val out = SparkEntry.queries("q_lang_mix")(spark, sfDir)
+    assert(out.count() > 0)
+    val windows = planNodes(out.queryExecution.executedPlan)
+      .collect { case w: WindowExec => w }
+    assert(windows.nonEmpty)
+    windows.foreach { w =>
+      val aboveAgg = planNodes(w.child).exists {
+        case _: BaseAggregateExec => true
+        case _ => false
+      }
+      val boundaryOnly = w.partitionSpec.flatMap(_.references.toSeq)
+        .map(_.name).toSet == Set("lang", "score")
+      assert(aboveAgg || boundaryOnly,
+        s"row-granularity window outside the boundary bucket:\n$w")
+    }
+  }
+
+  test("bpePairCounts plan: two aggregate collapses, window-free") {
+    // vocabulary counts then pair counts — both map-side combinable
+    // aggregates; no window, and nothing to broadcast (the pair
+    // dimension is an aggregate OUTPUT, never a join side).
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeLike
+    import org.apache.spark.sql.execution.window.WindowExec
+    val out = SparkEntry.queries("q_bpe_pairs")(spark, sfDir)
+    assert(out.count() > 0)
+    val nodes = planNodes(out.queryExecution.executedPlan)
+    assert(nodes.collect { case w: WindowExec => w }.isEmpty,
+      "pair counting must be pure aggregation, no window")
+    assert(nodes.collect { case b: BroadcastExchangeLike => b }.isEmpty,
+      "no join, so no broadcast should appear")
+  }
+
   test("streaming URL dedup: first-in-horizon survives, state is watermark-bounded") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.StreamDedup
