@@ -109,6 +109,8 @@ object SparkEntry {
     "q_token_budget" -> (qTokenBudget(_, _)),
     "q_lang_mix" -> (qLangMix(_, _)),
     "q_seq_pack" -> (qSeqPack(_, _)),
+    "q_seq_slices" -> (qSeqSlices(_, _)),
+    "q_contam_frac" -> (qContamFrac(_, _)),
     "q_bpe_pairs" -> (qBpePairs(_, _)),
     "q_robots_sitemaps" -> (qRobotsSitemaps(_, _)),
     "q_dup_clusters" -> (qDupClusters(_, _)),
@@ -1018,6 +1020,58 @@ object SparkEntry {
         | ((tok_offset + n_tokens - 1) // 512) - (tok_offset // 512) + 1
         |  AS n_seqs
         |FROM r""".stripMargin,
+    // Sequence slices: the oracle extends its independent
+    // global-cumsum q_seq_pack offsets with the same slice arithmetic.
+    "q_seq_slices" ->
+      """WITH base AS (
+        | SELECT doc_id,
+        |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |   ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT)
+        |   AS n_tokens,
+        |  ('0x' || substr(md5('pack:' || CAST(doc_id AS varchar)), 1, 8))::BIGINT
+        |   % 64 AS bucket
+        | FROM documents),
+        |r AS (
+        | SELECT doc_id, n_tokens,
+        |  CAST(coalesce(sum(n_tokens) OVER (ORDER BY bucket, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |   AS tok_offset
+        | FROM base WHERE n_tokens > 0),
+        |e AS (
+        | SELECT doc_id, n_tokens, tok_offset,
+        |  unnest(range(tok_offset // 512,
+        |    (tok_offset + n_tokens - 1) // 512 + 1)) AS seq_id
+        | FROM r)
+        |SELECT doc_id, CAST(seq_id AS BIGINT) AS seq_id,
+        | CAST(greatest(0, tok_offset - seq_id * 512) AS BIGINT) AS seq_off,
+        | CAST(greatest(0, seq_id * 512 - tok_offset) AS BIGINT) AS slice_start,
+        | CAST(least(tok_offset + n_tokens, (seq_id + 1) * 512)
+        |   - greatest(tok_offset, seq_id * 512) AS BIGINT) AS slice_len
+        |FROM e""".stripMargin,
+    // Gradated decontamination: overlap fraction over the same gram
+    // keys as q_contamination, thresholded — integer-exact milli.
+    "q_contam_frac" ->
+      """WITH toks AS (
+        | SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+        |   '[^a-z0-9_]+'), x -> length(x) > 0) AS tk
+        | FROM documents),
+        |grams AS (
+        | SELECT doc_id, unnest(list_distinct(list_transform(
+        |   range(1, len(tk) - 8 + 2),
+        |   i -> md5(array_to_string(tk[i:i+7], ' '))))) AS gk
+        | FROM toks WHERE len(tk) >= 8),
+        |bench AS (SELECT DISTINCT gk FROM grams WHERE doc_id % 20 = 0),
+        |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS total_grams
+        |        FROM grams GROUP BY 1),
+        |sh AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS shared_grams
+        |       FROM grams JOIN bench USING (gk) GROUP BY 1)
+        |SELECT t.doc_id, t.total_grams,
+        | CAST(coalesce(sh.shared_grams, 0) AS BIGINT) AS shared_grams,
+        | (1000 * coalesce(sh.shared_grams, 0)) // t.total_grams
+        |   AS contam_milli,
+        | (1000 * coalesce(sh.shared_grams, 0)) // t.total_grams >= 100
+        |   AS contaminated
+        |FROM tot t LEFT JOIN sh USING (doc_id)""".stripMargin,
     // BPE merge-pair counts: same tokenizer, same two-stage collapse
     // (vocabulary counts, then per-distinct-word adjacent pairs).
     "q_bpe_pairs" ->

@@ -297,6 +297,38 @@ object Curation {
         col("seq_first"), col("seq_last"), col("n_seqs"))
   }
 
+  /** The emit side of [[sequencePack]]: one row per (document,
+    * training sequence) pair with the exact slice of the document that
+    * lands in that sequence — everything a per-partition shard writer
+    * needs to materialize fixed-length sequences with no further
+    * shuffle (rows for one `seq_id` are complete and self-describing:
+    * position in the sequence, position in the document, length).
+    *
+    * Derived purely arithmetically from the packed offsets — the
+    * explode is bounded per doc by ⌈n_tokens/seqLen⌉+1, so the row
+    * count is ~corpus_tokens/seqLen + n_docs: linear, never quadratic.
+    * Invariants (unit-pinned): per doc, slice_len sums to n_tokens and
+    * consecutive slice_starts are contiguous; per sequence, seq_off
+    * intervals tile [0, seqLen) without gaps or overlap.
+    *
+    * @return (idCol, seq_id, seq_off [position in sequence],
+    *         slice_start [position in doc], slice_len)
+    */
+  def sequenceSlices(df: DataFrame, idCol: String, tokens: Column,
+                     seqLen: Long, buckets: Int,
+                     salt: String = "pack"): DataFrame = {
+    val packed = sequencePack(df, idCol, tokens, seqLen, buckets, salt)
+    packed
+      .select(col(idCol), col("n_tokens"), col("tok_offset"),
+        explode(sequence(col("seq_first"), col("seq_last"))).as("seq_id"))
+      .withColumn("seq_start", col("seq_id") * seqLen)
+      .select(col(idCol), col("seq_id"),
+        greatest(lit(0L), col("tok_offset") - col("seq_start")).as("seq_off"),
+        greatest(lit(0L), col("seq_start") - col("tok_offset")).as("slice_start"),
+        (least(col("tok_offset") + col("n_tokens"), col("seq_start") + seqLen) -
+          greatest(col("tok_offset"), col("seq_start"))).as("slice_len"))
+  }
+
   /** Corpus-conditioned LM-familiarity score — the integer-exact
     * surrogate of the CCNet/RefinedWeb "filter by language-model
     * perplexity" stage (Wenzek et al. 2020 score documents under a

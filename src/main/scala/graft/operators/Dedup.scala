@@ -467,6 +467,46 @@ object Dedup {
         countDistinct(col("bench_id")).as("bench_docs_hit"))
   }
 
+  /** Gradated benchmark decontamination — the DECISION metric on top
+    * of [[contamination]]: the fraction of a document's distinct token
+    * k-grams that appear anywhere in the benchmark set, integer-exact
+    * in milli-units, plus the keep/drop verdict at `thresholdMilli`
+    * (public practice — e.g. the GPT-3 appendix and Lee et al. 2022
+    * report and threshold n-gram OVERLAP, not a binary any-hit flag,
+    * because a single colliding idiom should not discard a long
+    * document). Documents with fewer than `k` tokens have no k-grams
+    * and are not emitted (they cannot be contaminated at this
+    * granularity).
+    *
+    *   contam_milli = (1000 · |doc grams ∩ bench grams|) DIV |doc grams|
+    *
+    * Scale shape at 10^10 docs: the bench gram set is bounded by the
+    * BENCHMARK size (small by nature — the one dimension in this
+    * family that is safe to broadcast, same reasoning as
+    * [[contamination]]); everything else is two doc-keyed aggregates.
+    *
+    * @return (idCol, total_grams, shared_grams, contam_milli,
+    *         contaminated)
+    */
+  def contaminationFraction(df: DataFrame, benchDocs: DataFrame,
+                            idCol: String, textCol: String, k: Int = 8,
+                            thresholdMilli: Long = 100L): DataFrame = {
+    val grams = tokenGramKeys(df, idCol, textCol, k)
+    val bench = tokenGramKeys(benchDocs, idCol, textCol, k)
+      .select(col("gk")).distinct()
+    val totals = grams.groupBy(col("doc_id_"))
+      .agg(count(lit(1)).as("total_grams"))
+    val shared = grams.join(broadcast(bench), Seq("gk"))
+      .groupBy(col("doc_id_"))
+      .agg(count(lit(1)).as("shared_grams"))
+    totals.join(shared, Seq("doc_id_"), "left")
+      .select(col("doc_id_").as(idCol), col("total_grams"),
+        coalesce(col("shared_grams"), lit(0L)).as("shared_grams"))
+      .withColumn("contam_milli",
+        expr("(1000 * shared_grams) DIV total_grams"))
+      .withColumn("contaminated", col("contam_milli") >= thresholdMilli)
+  }
+
   /** Distinct (doc, md5(token k-gram)) pairs — posexplode + window
     * lead (the relational shape; an array-lambda formulation would
     * re-inline the token array per element).

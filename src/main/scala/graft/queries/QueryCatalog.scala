@@ -1046,6 +1046,27 @@ object QueryCatalog {
     Curation.sequencePack(t(spark, dir, "documents"), "doc_id",
       TextAnalysis.tokenCount(col("text")), seqLen = 512L, buckets = 64)
 
+  /** Per-sequence document slices ([[Curation.sequenceSlices]]): the
+    * emit side of q_seq_pack — exact (doc, sequence) slice arithmetic
+    * over the same 512-token/64-bucket packing. The oracle restates
+    * the slices from its independent single-cumsum offsets.
+    */
+  def qSeqSlices(spark: SparkSession, dir: String): DataFrame =
+    Curation.sequenceSlices(t(spark, dir, "documents"), "doc_id",
+      TextAnalysis.tokenCount(col("text")), seqLen = 512L, buckets = 64)
+
+  /** Gradated decontamination ([[Dedup.contaminationFraction]]): the
+    * fraction of each doc's distinct 8-gram keys found in the
+    * synthetic benchmark set (every 20th doc), thresholded at 10%.
+    * Complements the binary any-hit q_contamination with the overlap
+    * DECISION metric real pipelines threshold.
+    */
+  def qContamFrac(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    Dedup.contaminationFraction(docs, docs.filter(col("doc_id") % 20 === 0),
+      "doc_id", "text", k = 8, thresholdMilli = 100L)
+  }
+
   /** BPE merge-candidate counts ([[TextAnalysis.bpePairCounts]]):
     * occurrence-weighted adjacent character-pair frequencies over the
     * corpus vocabulary — one tokenizer-training iteration's counting

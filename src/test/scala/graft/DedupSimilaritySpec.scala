@@ -59,6 +59,30 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(hits(1L)._1 >= 1L && hits(1L)._2 === 1L)
   }
 
+  test("contaminationFraction: exact milli overlap, threshold verdict, sub-k drop") {
+    import graft.operators.Dedup
+    val bench = Seq(
+      100L -> "the quick brown fox jumps over the lazy dog").toDF("doc_id", "text")
+    val corpus = Seq(
+      // 10 tokens -> 3 distinct 8-grams, 1 of them is the bench's
+      //   first 8-gram -> 333 milli, below the 500 threshold
+      1L -> "the quick brown fox jumps over the lazy cat meow",
+      // the bench doc verbatim: 2 grams, both shared -> 1000, flagged
+      2L -> "the quick brown fox jumps over the lazy dog",
+      // unrelated 8 tokens -> 1 gram, 0 shared -> 0
+      3L -> "completely different content with no overlap at all",
+      // 7 tokens: below k, must not be emitted
+      4L -> "too short to have any eight grams").toDF("doc_id", "text")
+    val out = Dedup.contaminationFraction(corpus, bench, "doc_id", "text",
+        k = 8, thresholdMilli = 500L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(out.keySet === Set(1L, 2L, 3L))
+    assert(out(1L) === ((3L, 1L, 333L, false)))
+    assert(out(2L) === ((2L, 2L, 1000L, true)))
+    assert(out(3L) === ((1L, 0L, 0L, false)))
+  }
+
   test("exact dedup keeps the min id of each duplicate group") {
     val kept = Dedup.exactDedup(docs, "doc_id", "text")
       .select("doc_id").collect().map(_.getLong(0)).toSet

@@ -393,6 +393,42 @@ class StateAndOperatorsSpec extends AnyFunSuite {
     assert(out7 === out.map(t => (t._1, t._4)).toMap)
   }
 
+  test("sequenceSlices: slices reconstruct docs and tile sequences gap-free") {
+    import spark.implicits._
+    val rows = (1L to 80L).map(i => (i, i % 9))
+    val df = rows.toDF("doc_id", "nt")
+    val slices = graft.operators.Curation
+      .sequenceSlices(df, "doc_id", col("nt"), seqLen = 7L, buckets = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // per doc: slice lengths sum to n_tokens, starts are contiguous
+    slices.groupBy(_._1).foreach { case (id, ss) =>
+      val ordered = ss.sortBy(_._2)
+      assert(ordered.map(_._5).sum === rows.find(_._1 == id).get._2)
+      ordered.foldLeft(0L) { case (expectStart, (_, _, _, st, ln)) =>
+        assert(st === expectStart, s"doc $id slice gap"); st + ln
+      }
+    }
+    // per sequence: seq_off intervals tile [0, fill) without gap/overlap
+    val totalTokens = rows.map(_._2).sum
+    slices.groupBy(_._2).foreach { case (seq, ss) =>
+      val ordered = ss.sortBy(_._3)
+      val fill = ordered.foldLeft(0L) { case (expectOff, (_, _, off, _, ln)) =>
+        assert(off === expectOff, s"seq $seq tile gap"); off + ln
+      }
+      val isLast = seq === (totalTokens - 1) / 7
+      assert(if (isLast) fill === totalTokens - seq * 7 else fill === 7L,
+        s"seq $seq fill $fill")
+    }
+    // consistency with sequencePack's span columns
+    val packed = graft.operators.Curation
+      .sequencePack(df, "doc_id", col("nt"), 7L, 5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(4), r.getLong(5)))).toMap
+    slices.groupBy(_._1).foreach { case (id, ss) =>
+      assert((ss.map(_._2).min, ss.map(_._2).max) === packed(id))
+    }
+  }
+
   test("valueDeciles equals per-row ntile for every tie/size shape") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
