@@ -60,6 +60,7 @@ object SparkEntry {
     "q_eav_store" -> (qEavStore(_, _)),
     "q_crawl_frequency_gate" -> (qCrawlFrequencyGate(_, _)),
     "q_requeue_backoff" -> (qRequeueBackoff(_, _)),
+    "q_revisit" -> (qRevisit(_, _)),
     "q_session_skip" -> (qSessionSkip(_, _)),
     "q_search_metapages" -> (qSearchMetapages(_, _)),
     "q_pagination_cap" -> (qPaginationCap(_, _)),
@@ -1139,6 +1140,33 @@ object SparkEntry {
         |   WHEN event_id % 4 = 2 THEN event_id % 10 + 4
         |   ELSE -1 END AS int) AS next_eligible_wave
         |FROM events""".stripMargin,
+    // Adaptive revisit: per-key change rate over consecutive synthetic
+    // content hashes, truncating integer DIV, capped backoff.
+    "q_revisit" ->
+      """WITH h AS (
+        | SELECT user_id, event_type,
+        |  CAST(event_id % 4 AS varchar) AS content,
+        |  lag(CAST(event_id % 4 AS varchar)) OVER (
+        |    PARTITION BY user_id, event_type
+        |    ORDER BY ts ASC, event_id ASC) AS prev
+        | FROM events),
+        |a AS (
+        | SELECT user_id, event_type,
+        |  CAST(count(*) AS BIGINT) AS n_fetches,
+        |  CAST(sum(CASE WHEN prev IS NOT NULL AND content <> prev
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_changes
+        | FROM h GROUP BY 1, 2),
+        |r AS (
+        | SELECT user_id, event_type, n_fetches, n_changes,
+        |  CAST(CASE WHEN n_fetches >= 2
+        |    THEN (1000 * n_changes) // (n_fetches - 1)
+        |    ELSE 0 END AS BIGINT) AS change_rate_milli
+        | FROM a)
+        |SELECT user_id, event_type, n_fetches, n_changes,
+        | change_rate_milli,
+        | least(86400, (3600 * 1000) // greatest(change_rate_milli, 100))
+        |  AS revisit_sec
+        |FROM r""".stripMargin,
     "q_session_skip" ->
       """WITH state AS (
         |  SELECT source, CAST(doc_id AS varchar) AS did, md5(text) AS h

@@ -248,6 +248,21 @@ object QueryCatalog {
       .filter(col("age_days") >= col("frequency_days"))
       .select(col("o_orderkey"), col("age_days"), col("frequency_days"))
 
+  /** Adaptive revisit scheduling ([[graft.operators.Revisit]]): the
+    * events table doubles as fetch history — key (user_id,
+    * event_type), fetch order (ts, event_id), synthetic content hash
+    * `event_id % 4` so consecutive fetches sometimes repeat — and the
+    * operator rolls it into per-key change rates + revisit intervals
+    * (base 3600 s, floor 100 milli, cap 86400 s).
+    */
+  def qRevisit(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Revisit.changeRate(
+      t(spark, dir, "events")
+        .withColumn("content", (col("event_id") % 4).cast("string")),
+      Seq("user_id", "event_type"), "ts", "event_id", "content",
+      baseIntervalSec = 3600L, minRateMilli = 100L,
+      maxIntervalSec = 86400L)
+
   /** P4 requeue/deferred retry accounting (reference requeue-self,
     * baseconnector.py:158-181): bounded attempts + exponential backoff
     * to the next eligible wave.

@@ -165,6 +165,36 @@ class RetryAndRecrawlSpec extends AnyFunSuite {
     assert(m(2) === 0L && m(4) === 0L && m(1) === 1L && m(3) === 1L)
   }
 
+  test("adaptive revisit: change rate from consecutive hashes, capped backoff") {
+    import org.apache.spark.sql.functions.col
+    // url A: 5 fetches, hashes a b b c c -> 2 changes over 4 steps (500)
+    // url B: 4 fetches, all identical -> 0 changes (static page)
+    // url C: 3 fetches, always different -> 1000 (always-changing)
+    // url D: 1 fetch -> cold start, rate 0
+    val hist = Seq(
+      ("A", 1L, "a"), ("A", 2L, "b"), ("A", 3L, "b"), ("A", 4L, "c"),
+      ("A", 5L, "c"),
+      ("B", 1L, "x"), ("B", 2L, "x"), ("B", 3L, "x"), ("B", 4L, "x"),
+      ("C", 1L, "p"), ("C", 2L, "q"), ("C", 3L, "r"),
+      ("D", 1L, "z")).toDF("url", "seq", "h")
+      .withColumn("ts", col("seq").cast("timestamp"))
+    val out = graft.operators.Revisit.changeRate(hist, Seq("url"), "ts",
+        "seq", "h", baseIntervalSec = 3600L, minRateMilli = 100L,
+        maxIntervalSec = 86400L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out("A") === ((5L, 2L, 500L, 7200L)))      // 3600*1000/500
+    assert(out("B") === ((4L, 0L, 0L, 36000L)))       // floor 100 -> 36000
+    assert(out("C") === ((3L, 2L, 1000L, 3600L)))     // base interval
+    assert(out("D") === ((1L, 0L, 0L, 36000L)))       // cold start
+    // cap: a tiny floor would explode the interval; the cap holds it
+    val capped = graft.operators.Revisit.changeRate(hist, Seq("url"), "ts",
+        "seq", "h", baseIntervalSec = 3600L, minRateMilli = 1L,
+        maxIntervalSec = 86400L)
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(capped("B") === 86400L)
+  }
+
   test("duplicate captures of one url: latest warc_ts wins, no row fanout") {
     // the input shape legitimately holds multiple captures per url —
     // the fetch join must dedup, or the frontier join fans out
