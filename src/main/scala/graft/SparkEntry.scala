@@ -61,6 +61,8 @@ object SparkEntry {
     "q_crawl_frequency_gate" -> (qCrawlFrequencyGate(_, _)),
     "q_requeue_backoff" -> (qRequeueBackoff(_, _)),
     "q_revisit" -> (qRevisit(_, _)),
+    "q_url_traps" -> (qUrlTraps(_, _)),
+    "q_snapshot_diff" -> (qSnapshotDiff(_, _)),
     "q_session_skip" -> (qSessionSkip(_, _)),
     "q_search_metapages" -> (qSearchMetapages(_, _)),
     "q_pagination_cap" -> (qPaginationCap(_, _)),
@@ -107,6 +109,7 @@ object SparkEntry {
     "q_anchor_text" -> (qAnchorText(_, _)),
     "q_lm_familiarity" -> (qLmFamiliarity(_, _)),
     "q_dsir_weights" -> (qDsirWeights(_, _)),
+    "q_kn_counts" -> (qKnCounts(_, _)),
     "q_token_budget" -> (qTokenBudget(_, _)),
     "q_lang_mix" -> (qLangMix(_, _)),
     "q_seq_pack" -> (qSeqPack(_, _)),
@@ -925,6 +928,22 @@ object SparkEntry {
         | coalesce(pd.ilog_sum, 0) AS ilog_sum,
         | coalesce((1000 * pd.ilog_sum) // pd.n_bigrams, 0) AS familiarity_milli
         |FROM documents d LEFT JOIN pd USING (doc_id)""".stripMargin,
+    // Kneser–Ney continuation counts: per-position (prev, word) pairs
+    // via the same list_transform/range idiom as the contamination
+    // oracle; count(DISTINCT prev) skips the leading null per doc.
+    "q_kn_counts" ->
+      """WITH toks AS (
+        | SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+        |   '[^a-z0-9_]+'), x -> length(x) > 0) AS tk
+        | FROM documents),
+        |ex AS (
+        | SELECT unnest(list_transform(range(1, len(tk) + 1),
+        |   i -> {'w': tk[i],
+        |         'prev': CASE WHEN i > 1 THEN tk[i-1] ELSE NULL END})) AS s
+        | FROM toks)
+        |SELECT s.w AS word, count(*) AS c_total,
+        | count(DISTINCT s.prev) AS n_cont
+        |FROM ex GROUP BY 1""".stripMargin,
     // DSIR importance weights: same hashed uni+bigram feature space,
     // same add-one ilog2 arithmetic, same truncating integer DIV.
     "q_dsir_weights" ->
@@ -1167,6 +1186,35 @@ object SparkEntry {
         | least(86400, (3600 * 1000) // greatest(change_rate_milli, 100))
         |  AS revisit_sec
         |FROM r""".stripMargin,
+    // Crawl-trap detection: same host/template regexes; DuckDB's
+    // regexp_replace needs the explicit 'g' flag Spark applies by
+    // default.
+    "q_url_traps" ->
+      """WITH urls AS (
+        | SELECT CASE WHEN doc_id % 3 = 0
+        |  THEN 'http://' || source || '.example.com/cal/' || doc_id || '/view'
+        |  ELSE 'http://' || source || '.example.com/page/' || (doc_id % 5) END AS url
+        | FROM documents)
+        |SELECT regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+        | regexp_replace(regexp_extract(url, '^[a-z]+://[^/?#]+(/[^?#]*)', 1),
+        |   '[0-9]+', 'D', 'g') AS template,
+        | count(DISTINCT url) AS n_urls,
+        | count(DISTINCT url) > 5 AS trap
+        |FROM urls GROUP BY 1, 2""".stripMargin,
+    // Snapshot diff: full-outer on the key, status by hash comparison.
+    "q_snapshot_diff" ->
+      """WITH prev AS (
+        | SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 5 <> 4),
+        |cur AS (
+        | SELECT doc_id,
+        |  md5(CASE WHEN doc_id % 7 = 0 THEN text || 'v2' ELSE text END) AS h
+        | FROM documents WHERE doc_id % 5 <> 0)
+        |SELECT coalesce(prev.doc_id, cur.doc_id) AS doc_id,
+        | CASE WHEN prev.h IS NULL THEN 'added'
+        |      WHEN cur.h IS NULL THEN 'removed'
+        |      WHEN prev.h <> cur.h THEN 'changed'
+        |      ELSE 'same' END AS status
+        |FROM prev FULL OUTER JOIN cur ON prev.doc_id = cur.doc_id""".stripMargin,
     "q_session_skip" ->
       """WITH state AS (
         |  SELECT source, CAST(doc_id AS varchar) AS did, md5(text) AS h

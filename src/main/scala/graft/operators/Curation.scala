@@ -454,4 +454,39 @@ object Curation {
         coalesce(col("weight_sum"), lit(0L)).as("weight_sum"),
         coalesce(col("weight_milli"), lit(0L)).as("weight_milli"))
   }
+
+  /** Kneser–Ney continuation counts — the adjusted-count table of one
+    * interpolated-KN bigram LM training pass (Kneser & Ney 1995; the
+    * lower-order distribution every modern n-gram LM toolkit builds):
+    * per word w, the raw occurrence count c(w) and the continuation
+    * count N1+(·w) = number of DISTINCT predecessor *types*. The
+    * curation use is the same as [[familiarityScore]]'s: these counts
+    * ARE the model state a perplexity filter scores against, and
+    * building them over the raw corpus is the count-heavy half of LM
+    * training a 100-TB pipeline runs on the cluster. Tokenization
+    * matches [[Dedup]]'s proven cross-engine form
+    * (`[^a-z0-9_]+` split, lowercase, empties dropped).
+    *
+    * ONE corpus-sized aggregate: predecessors ride each token row via a
+    * per-doc lag window (bounded by that document's own length, never
+    * corpus-global — the sessionization partitioning discipline), then
+    * groupBy(word) computes count(*) and count(DISTINCT prev) in the
+    * same two-phase exchange. count(DISTINCT) skips the per-doc leading
+    * null, so N1+ ranges over true bigrams only — exactly the paper's
+    * definition. No join back, no second shuffle.
+    *
+    * @return (word, c_total, n_cont)
+    */
+  def knContinuationCounts(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("doc_id_"),
+      posexplode(filter(split(lower(col(textCol)), "[^a-z0-9_]+"),
+        t => length(t) > 0)).as(Seq("pos", "w")))
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id_").orderBy("pos")
+    toks.withColumn("prev", lag(col("w"), 1).over(wDoc))
+      .groupBy(col("w").as("word"))
+      .agg(count(lit(1)).as("c_total"),
+        countDistinct(col("prev")).as("n_cont"))
+  }
 }

@@ -1138,4 +1138,49 @@ object QueryCatalog {
       .select(col("url"), col("n_links"), col("n_anchors"),
         col("anchor").as("top_anchor"), col("c").as("top_count"))
   }
+
+  /** Crawl-trap detection ([[graft.operators.CrawlTraps.trapTemplates]])
+    * over a deterministic URL corpus: calendar-style `/cal/<id>/view`
+    * pages explode ONE template per host (8–9 distinct URLs at sf0.01 —
+    * trap at the >5 gate) while `/page/<id mod 5>` stays bounded at
+    * exactly 5 (clean). The oracle restates the template collapse with
+    * the same regexes.
+    */
+  def qUrlTraps(spark: SparkSession, dir: String): DataFrame = {
+    val urls = t(spark, dir, "documents").select(
+      when(col("doc_id") % 3 === 0,
+        concat(lit("http://"), col("source"), lit(".example.com/cal/"),
+          col("doc_id").cast("string"), lit("/view")))
+        .otherwise(concat(lit("http://"), col("source"),
+          lit(".example.com/page/"), (col("doc_id") % 5).cast("string")))
+        .as("url"))
+    graft.operators.CrawlTraps.trapTemplates(urls, "url",
+      maxUrlsPerTemplate = 5L)
+  }
+
+  /** Kneser–Ney continuation counts
+    * ([[Curation.knContinuationCounts]]): per-word raw count and
+    * distinct-predecessor count over the documents corpus — one bigram
+    * LM training pass's count table.
+    */
+  def qKnCounts(spark: SparkSession, dir: String): DataFrame =
+    Curation.knContinuationCounts(t(spark, dir, "documents"),
+      "doc_id", "text")
+
+  /** Crawl-snapshot diff ([[graft.operators.SnapshotDiff.diff]]):
+    * snapshot A drops `doc_id % 5 == 4`, snapshot B drops
+    * `doc_id % 5 == 0` and mutates content where `doc_id % 7 == 0`,
+    * so every status (added / removed / changed / same) appears with
+    * deterministic membership.
+    */
+  def qSnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents")
+    val prev = d.filter(col("doc_id") % 5 =!= 4)
+      .select(col("doc_id"), md5(col("text")).as("h"))
+    val cur = d.filter(col("doc_id") % 5 =!= 0)
+      .select(col("doc_id"),
+        md5(when(col("doc_id") % 7 === 0, concat(col("text"), lit("v2")))
+          .otherwise(col("text"))).as("h"))
+    graft.operators.SnapshotDiff.diff(prev, cur, "doc_id", "h")
+  }
 }

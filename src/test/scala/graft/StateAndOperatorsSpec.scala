@@ -509,4 +509,68 @@ class StateAndOperatorsSpec extends AnyFunSuite {
     assert(out(4L) === ((1L, 0L, 0L)))
     assert(out(1L)._3 > out(2L)._3, "target-like text must outweigh raw-only")
   }
+
+  test("knContinuationCounts: raw vs continuation counts, leading nulls skipped") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "a cat ran"),
+      (3L, "cat cat cat"),
+      (4L, ""))
+    val out = graft.operators.Curation
+      .knContinuationCounts(docs.toDF("doc_id", "text"), "doc_id", "text")
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    // 'cat': 5 occurrences; predecessors {the, a, cat} (doc 3's first
+    // 'cat' has a null prev — skipped) -> N1+ = 3
+    assert(out("cat") === ((5L, 3L)))
+    // 'the': 2 occurrences, one doc-initial (null prev) and one after
+    // 'on' -> N1+ = 1. The high-frequency/low-continuation split is
+    // exactly what KN adjusts for.
+    assert(out("the") === ((2L, 1L)))
+    assert(out("sat") === ((1L, 1L)))   // after 'cat'
+    assert(out("a") === ((1L, 0L)))     // doc-initial only
+    assert(!out.contains(""), "empty docs contribute nothing")
+    assert(out.values.forall { case (c, n) => n <= c },
+      "continuation count can never exceed the raw count")
+  }
+
+  test("CrawlTraps: digit-collapsed templates, trap verdict at the cap") {
+    import spark.implicits._
+    val urls = (
+      (1 to 9).map(i => s"http://a.test/cal/2024/$i/view") ++   // explodes
+      Seq("http://a.test/page/1", "http://a.test/page/2",       // bounded
+        "http://a.test/page/1",                                 // dup url
+        "http://b.test/cal/2024/1/view",                        // other host
+        "not a url")                                            // unparseable
+    ).toDF("url")
+    val out = graft.operators.CrawlTraps.trapTemplates(urls, "url", 5L)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out(("a.test", "/cal/D/D/view")) === ((9L, true)),
+      "nine distinct urls under one template must trip the >5 gate")
+    assert(out(("a.test", "/page/D")) === ((2L, false)),
+      "distinct-url count, not row count: the duplicate url collapses")
+    assert(out(("b.test", "/cal/D/D/view")) === ((1L, false)),
+      "templates are per-host — b.test's lone page is clean")
+    assert(out.contains(("", "")), "unparseable urls group under empty keys")
+  }
+
+  test("SnapshotDiff: added/removed/changed/same via full-outer hash compare") {
+    import spark.implicits._
+    val prev = Seq((1L, "h1"), (2L, "h2"), (3L, "h3")).toDF("url_id", "h")
+    val cur = Seq((2L, "h2"), (3L, "h3x"), (4L, "h4")).toDF("url_id", "h")
+    val out = graft.operators.SnapshotDiff.diff(prev, cur, "url_id", "h")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(1L -> "removed", 2L -> "same",
+      3L -> "changed", 4L -> "added"))
+    // empty-side edges: everything added / everything removed
+    val empty = Seq.empty[(Long, String)].toDF("url_id", "h")
+    assert(graft.operators.SnapshotDiff.diff(empty, cur, "url_id", "h")
+      .collect().forall(_.getString(1) == "added"))
+    assert(graft.operators.SnapshotDiff.diff(prev, empty, "url_id", "h")
+      .collect().forall(_.getString(1) == "removed"))
+  }
 }

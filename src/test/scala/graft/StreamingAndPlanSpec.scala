@@ -464,6 +464,59 @@ class StreamingAndPlanSpec extends AnyFunSuite {
       "no join, so no broadcast should appear")
   }
 
+  test("knContinuationCounts plan: per-doc windows only, one aggregate, no join") {
+    // the predecessor rides each token row via a window partitioned by
+    // the DOC key (bounded by that doc's own length — the
+    // sessionization discipline, never a corpus-global sort), then ONE
+    // groupBy(word) computes both counts; there must be no join back.
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    val out = SparkEntry.queries("q_kn_counts")(spark, sfDir)
+    assert(out.count() > 0)
+    val nodes = planNodes(out.queryExecution.executedPlan)
+    val windows = nodes.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty, "the lag still rides a per-doc window")
+    windows.foreach { w =>
+      val parts = w.partitionSpec.flatMap(_.references.toSeq).map(_.name).toSet
+      assert(parts == Set("doc_id_"),
+        s"window must partition by the doc key, got $parts:\n$w")
+    }
+    assert(nodes.collect { case j: BaseJoinExec => j }.isEmpty,
+      "count(*) and count(DISTINCT prev) share one aggregate — no join back")
+  }
+
+  test("CrawlTraps plan: window-free distinct-count aggregate, no broadcast") {
+    // one groupBy (host, template) with a two-phase distinct count —
+    // the trap dimension is an aggregate OUTPUT (bounded by page-type
+    // count), never a join side; nothing may window or broadcast.
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeLike
+    import org.apache.spark.sql.execution.window.WindowExec
+    val out = SparkEntry.queries("q_url_traps")(spark, sfDir)
+    assert(out.count() > 0)
+    val nodes = planNodes(out.queryExecution.executedPlan)
+    assert(nodes.collect { case w: WindowExec => w }.isEmpty,
+      "trap detection must be pure aggregation, no window")
+    assert(nodes.collect { case b: BroadcastExchangeLike => b }.isEmpty,
+      "no join, so no broadcast should appear")
+  }
+
+  test("SnapshotDiff plan: one equi-join, never a cartesian or BNLJ") {
+    // the full-outer diff must stay a key-partitioned equi-join at any
+    // snapshot size — both sides are corpus-sized, so a broadcast
+    // nested-loop or cartesian fallback would be a scale bug.
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    import org.apache.spark.sql.execution.window.WindowExec
+    val out = SparkEntry.queries("q_snapshot_diff")(spark, sfDir)
+    assert(out.count() > 0)
+    val nodes = planNodes(out.queryExecution.executedPlan)
+    assert(nodes.collect { case c: CartesianProductExec => c }.isEmpty,
+      "cartesian product in the diff plan")
+    assert(nodes.collect { case b: BroadcastNestedLoopJoinExec => b }.isEmpty,
+      "broadcast nested-loop join in the diff plan")
+    assert(nodes.collect { case w: WindowExec => w }.isEmpty,
+      "the diff is join+project only — no window")
+  }
+
   test("streaming URL dedup: first-in-horizon survives, state is watermark-bounded") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.StreamDedup
