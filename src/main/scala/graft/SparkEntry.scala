@@ -99,6 +99,7 @@ object SparkEntry {
     "q_minhash_dedup" -> (qMinhashDedup(_, _)),
     "q_simhash_pairs" -> (qSimhashPairs(_, _)),
     "q_ngram_jaccard" -> (qNgramJaccard(_, _)),
+    "q_containment_pairs" -> (qContainmentPairs(_, _)),
     "q_paragraph_dedup" -> (qParagraphDedup(_, _)),
     "q_line_dedup" -> (qLineDedup(_, _)),
     "q_dup_span_scrub" -> (qDupSpanScrub(_, _)),
@@ -110,6 +111,7 @@ object SparkEntry {
     "q_lm_familiarity" -> (qLmFamiliarity(_, _)),
     "q_dsir_weights" -> (qDsirWeights(_, _)),
     "q_kn_counts" -> (qKnCounts(_, _)),
+    "q_corpus_mix" -> (qCorpusMix(_, _)),
     "q_token_budget" -> (qTokenBudget(_, _)),
     "q_lang_mix" -> (qLangMix(_, _)),
     "q_seq_pack" -> (qSeqPack(_, _)),
@@ -700,6 +702,64 @@ object SparkEntry {
         | round(len(list_intersect(a.wset, b.wset)) * 1.0 /
         |   len(list_distinct(list_concat(a.wset, b.wset))), 4) AS jaccard
         |FROM sets a JOIN sets b ON b.doc_id = a.doc_id + 1""".stripMargin,
+    // Asymmetric containment: same gram derivation as the MinHash
+    // oracle prefix (k=3 word grams, sub-k whole-doc fallback, md5
+    // keys); counts and shares in truncating integer milli.
+    "q_containment_pairs" ->
+      """WITH base AS (
+        | SELECT doc_id, text FROM documents
+        | UNION ALL
+        | SELECT doc_id + 1000000, substr(text, 1, length(text) // 2)
+        | FROM documents WHERE doc_id % 4 = 0),
+        |toks AS (
+        | SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+        |   '[^a-z0-9_]+'), x -> length(x) > 0) AS tk
+        | FROM base),
+        |grams AS (
+        | SELECT DISTINCT doc_id AS cid, md5(g) AS g FROM (
+        |  SELECT doc_id, unnest(CASE WHEN len(tk) < 3
+        |    THEN [array_to_string(tk, ' ')]
+        |    ELSE list_transform(range(1, len(tk) - 1),
+        |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) END) AS g
+        |  FROM toks)),
+        |counts AS (SELECT cid, count(*) AS n FROM grams GROUP BY 1),
+        |pairs AS (
+        | SELECT doc_id + 1000000 AS id_a, doc_id AS id_b
+        | FROM documents WHERE doc_id % 4 = 0
+        | UNION ALL
+        | SELECT doc_id AS id_a, doc_id + 1 AS id_b FROM documents),
+        |shared AS (
+        | SELECT p.id_a, p.id_b, count(*) AS n_shared
+        | FROM pairs p
+        | JOIN grams ga ON ga.cid = p.id_a
+        | JOIN grams gb ON gb.cid = p.id_b AND gb.g = ga.g
+        | GROUP BY 1, 2)
+        |SELECT p.id_a, p.id_b, ca.n AS n_a, cb.n AS n_b,
+        | coalesce(s.n_shared, 0) AS n_shared,
+        | (1000 * coalesce(s.n_shared, 0)) // ca.n AS cont_a_milli,
+        | (1000 * coalesce(s.n_shared, 0)) // cb.n AS cont_b_milli
+        |FROM pairs p
+        |JOIN counts ca ON ca.cid = p.id_a
+        |JOIN counts cb ON cb.cid = p.id_b
+        |LEFT JOIN shared s ON s.id_a = p.id_a AND s.id_b = p.id_b""".stripMargin,
+    // Corpus-mixture report: whitespace token counts (the
+    // q_token_count form), bounded group dimension, integer-milli
+    // shares of the dimension's own total.
+    "q_corpus_mix" ->
+      """WITH d AS (
+        | SELECT lang, source,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |   ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+        | FROM documents),
+        |dims AS (
+        | SELECT lang, source, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+        | FROM d GROUP BY 1, 2)
+        |SELECT lang, source, n_docs, n_tokens,
+        | (1000 * n_tokens) //
+        |   (SELECT CAST(sum(n_tokens) AS BIGINT) FROM dims)
+        |  AS token_share_milli
+        |FROM dims""".stripMargin,
     "q_paragraph_dedup" ->
       """WITH synth AS (
         | SELECT doc_id, text || chr(10) ||

@@ -455,6 +455,32 @@ object Curation {
         coalesce(col("weight_milli"), lit(0L)).as("weight_milli"))
   }
 
+  /** Corpus-mixture report — the "data card" table a training-data
+    * pipeline publishes and the input every mixing decision
+    * ([[tokenBudgetSelectPerGroup]]'s budgets) is made from: per group
+    * (language, source, …) the document count, token total, and the
+    * group's token share of the whole corpus in integer milli
+    * (truncating DIV — no float summation-order ties).
+    *
+    * Scale shape: ONE map-side-combinable aggregate collapses the
+    * corpus to the bounded group dimension; the global total is a
+    * 1-row aggregate OF THAT DIMENSION crossJoin-broadcast back (the
+    * documented bounded stat-dim pattern) — after the first collapse
+    * nothing corpus-sized moves again.
+    */
+  def corpusMixReport(df: DataFrame, groupCols: Seq[String],
+      tokens: Column): DataFrame = {
+    val dims = df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(tokens.cast("long")).as("n_tokens"))
+    val total = dims.agg(coalesce(sum(col("n_tokens")), lit(0L)).as("tot"))
+    dims.crossJoin(broadcast(total))
+      .withColumn("token_share_milli",
+        when(col("tot") === 0, lit(0L))
+          .otherwise(expr("(1000 * n_tokens) DIV tot")))
+      .drop("tot")
+  }
+
   /** Kneser–Ney continuation counts — the adjusted-count table of one
     * interpolated-KN bigram LM training pass (Kneser & Ney 1995; the
     * lower-order distribution every modern n-gram LM toolkit builds):

@@ -609,6 +609,61 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Asymmetric n-gram containment over candidate pairs:
+    * cont(A→B) = |grams(A) ∩ grams(B)| / |grams(A)|, both directions,
+    * in integer milli (truncating DIV — no float ties). Containment is
+    * the dup signal symmetric Jaccard misses: a short document quoted
+    * verbatim inside a long one has LOW Jaccard (the union is large)
+    * but containment 1.0 from the short side — the quote-inclusion /
+    * boilerplate-wrapping case of public near-dup practice (Broder's
+    * original resemblance/containment pair). Run it as the verify
+    * stage on LSH candidate pairs, exactly like [[ngramJaccard]].
+    *
+    * Word k-grams with the same derivation as the portable MinHash
+    * shingles (lowercase, `\W+` split, sub-k docs fall back to the
+    * whole-doc gram), keyed on md5 — stated relationally (posexplode +
+    * lead, never an array column inside a lambda).
+    *
+    * Scale shape: pair-bounded — grams join pairs on the doc key, then
+    * the shared-gram count is one equi-join on (id_b, gram) + one
+    * aggregate; per-doc gram counts ride a doc-keyed aggregate. No
+    * all-pairs anywhere: the quadratic risk lives in the candidate
+    * generator, which caps its buckets ([[minhashPairsPortable]]).
+    *
+    * @return (id_a, id_b, n_a, n_b, n_shared, cont_a_milli, cont_b_milli)
+    */
+  def ngramContainment(pairs: DataFrame, docs: DataFrame, idCol: String,
+                       textCol: String, k: Int = 3): DataFrame = {
+    val toks = filter(split(lower(col(textCol)), "\\W+"), t => length(t) > 0)
+    val docsT = docs.select(col(idCol).as("cid"), toks.as("tk"))
+    val w = Window.partitionBy("cid").orderBy("pos")
+    val leadCols = (1 until k).map(i => lead(col("tok"), i).over(w).as(s"l$i"))
+    val big = docsT.filter(size(col("tk")) >= k)
+      .select(col("cid"), posexplode(col("tk")).as(Seq("pos", "tok")))
+      .select((col("cid") +: col("tok") +: leadCols): _*)
+      .filter(col(s"l${k - 1}").isNotNull)
+      .select(col("cid"), md5(concat_ws(" ",
+        (col("tok") +: (1 until k).map(i => col(s"l$i"))): _*)).as("g"))
+    val small = docsT.filter(size(col("tk")) < k)
+      .select(col("cid"), md5(concat_ws(" ", col("tk"))).as("g"))
+    val grams = big.unionByName(small).distinct()
+    val counts = grams.groupBy("cid").agg(count(lit(1)).as("n"))
+
+    val shared = pairs.select(col("id_a"), col("id_b"))
+      .join(grams.select(col("cid").as("id_a"), col("g")), Seq("id_a"))
+      .join(grams.select(col("cid").as("id_b"), col("g")), Seq("id_b", "g"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
+    pairs.select(col("id_a"), col("id_b"))
+      .join(counts.select(col("cid").as("id_a"), col("n").as("n_a")), Seq("id_a"))
+      .join(counts.select(col("cid").as("id_b"), col("n").as("n_b")), Seq("id_b"))
+      .join(shared, Seq("id_a", "id_b"), "left")
+      .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
+      .withColumn("cont_a_milli", expr("(1000 * n_shared) DIV n_a"))
+      .withColumn("cont_b_milli", expr("(1000 * n_shared) DIV n_b"))
+      .select("id_a", "id_b", "n_a", "n_b", "n_shared",
+        "cont_a_milli", "cont_b_milli")
+  }
+
   // ---------- cross-corpus paragraph dedup (C4-style) ----------
 
   /** Remove duplicated paragraphs ACROSS the corpus, keeping only the

@@ -1167,6 +1167,34 @@ object QueryCatalog {
     Curation.knContinuationCounts(t(spark, dir, "documents"),
       "doc_id", "text")
 
+  /** Asymmetric n-gram containment ([[Dedup.ngramContainment]]) over a
+    * pair fixture that exercises the signal's point: every fourth doc
+    * gets a derived "excerpt" twin (first half of its text, id+10^6)
+    * paired against the full doc — containment from the excerpt side
+    * runs near 1000 milli while Jaccard would stay low — plus the
+    * consecutive (i, i+1) contrast pairs (the dangling last pair drops
+    * in the inner count join, as in q_ngram_jaccard).
+    */
+  def qContainmentPairs(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents")
+    val excerpts = d.filter(col("doc_id") % 4 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        expr("substring(text, 1, length(text) div 2)").as("text"))
+    val docsPlus = d.select(col("doc_id"), col("text")).unionByName(excerpts)
+    val pairs = d.filter(col("doc_id") % 4 === 0)
+      .select((col("doc_id") + 1000000L).as("id_a"), col("doc_id").as("id_b"))
+      .unionByName(
+        d.select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b")))
+    Dedup.ngramContainment(pairs, docsPlus, "doc_id", "text", k = 3)
+  }
+
+  /** Corpus-mixture report ([[Curation.corpusMixReport]]) per
+    * (lang, source): doc/token totals and integer-milli token shares.
+    */
+  def qCorpusMix(spark: SparkSession, dir: String): DataFrame =
+    Curation.corpusMixReport(t(spark, dir, "documents"),
+      Seq("lang", "source"), TextAnalysis.tokenCount(col("text")))
+
   /** Crawl-snapshot diff ([[graft.operators.SnapshotDiff.diff]]):
     * snapshot A drops `doc_id % 5 == 4`, snapshot B drops
     * `doc_id % 5 == 0` and mutates content where `doc_id % 7 == 0`,

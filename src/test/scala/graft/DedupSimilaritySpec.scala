@@ -498,4 +498,26 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(out.collect { case (id, (_, kept)) if !kept => id }.toSet ===
       Set(100L, 101L))
   }
+
+  test("ngramContainment: excerpt side saturates, disjoint pairs zero, sub-k fallback") {
+    val docs = Seq(
+      (1L, "one two three four five six"), // 4 grams
+      (2L, "one two three four"),          // 2 grams, both inside doc 1
+      (3L, "xx yy"),                       // sub-k: one whole-doc gram
+      (4L, "one two three")                // exactly k: one gram
+    ).toDF("doc_id", "text")
+    val pairs = Seq((2L, 1L), (3L, 1L), (4L, 2L)).toDF("id_a", "id_b")
+    val out = Dedup.ngramContainment(pairs, docs, "doc_id", "text", k = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))))
+      .toMap
+    // doc 2's grams are a strict subset of doc 1's: containment is
+    // total from the small side, half from the large side — the
+    // quote-inclusion signal Jaccard (2/4 = 0.5) understates.
+    assert(out((2L, 1L)) === ((2L, 4L, 2L, 1000L, 500L)))
+    assert(out((3L, 1L)) === ((1L, 4L, 0L, 0L, 0L)), "disjoint pair is zero")
+    assert(out((4L, 2L)) === ((1L, 2L, 1L, 1000L, 500L)),
+      "exact-k doc contributes its single gram")
+  }
 }

@@ -510,6 +510,27 @@ class StateAndOperatorsSpec extends AnyFunSuite {
     assert(out(1L)._3 > out(2L)._3, "target-like text must outweigh raw-only")
   }
 
+  test("corpusMixReport: integer-milli shares over the group dimension; empty corpus") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "en", "a b c"),   // 3 tokens
+      (2L, "en", "d"),       // 1 token
+      (3L, "de", "e f g h")) // 4 tokens
+      .toDF("doc_id", "lang", "text")
+    val out = graft.operators.Curation
+      .corpusMixReport(docs, Seq("lang"),
+        graft.functions.TextAnalysis.tokenCount(col("text")))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out("en") === ((2L, 4L, 500L)))
+    assert(out("de") === ((1L, 4L, 500L)))
+    // empty corpus: empty report, never an NPE on the null total
+    val empty = Seq.empty[(Long, String, String)].toDF("doc_id", "lang", "text")
+    assert(graft.operators.Curation.corpusMixReport(empty, Seq("lang"),
+      graft.functions.TextAnalysis.tokenCount(col("text"))).isEmpty)
+  }
+
   test("knContinuationCounts: raw vs continuation counts, leading nulls skipped") {
     import spark.implicits._
     val docs = Seq(

@@ -517,6 +517,41 @@ class StreamingAndPlanSpec extends AnyFunSuite {
       "the diff is join+project only — no window")
   }
 
+  test("ngramContainment plan: per-doc windows only, no cartesian") {
+    // the shingle builder's lead windows partition by the DOC key;
+    // everything downstream is equi-joins + aggregates — a cartesian
+    // or BNLJ would mean the pair join degenerated.
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    import org.apache.spark.sql.execution.window.WindowExec
+    val out = SparkEntry.queries("q_containment_pairs")(spark, sfDir)
+    assert(out.count() > 0)
+    val nodes = planNodes(out.queryExecution.executedPlan)
+    val windows = nodes.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty, "the shingle builder still rides lead windows")
+    windows.foreach { w =>
+      val parts = w.partitionSpec.flatMap(_.references.toSeq).map(_.name).toSet
+      assert(parts == Set("cid"),
+        s"window must partition by the doc key, got $parts:\n$w")
+    }
+    assert(nodes.collect { case c: CartesianProductExec => c }.isEmpty)
+    assert(nodes.collect { case b: BroadcastNestedLoopJoinExec => b }.isEmpty)
+  }
+
+  test("corpusMixReport plan: window-free; only the 1-row total broadcasts") {
+    // one aggregate to the bounded group dimension, then the global
+    // total — a 1-row aggregate — crossJoin-broadcasts back. The BNLJ
+    // this produces is the documented legitimate stat-dim pattern;
+    // what must NOT appear is a window or a corpus-sized broadcast.
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val out = SparkEntry.queries("q_corpus_mix")(spark, sfDir)
+    assert(out.count() > 0)
+    val nodes = planNodes(out.queryExecution.executedPlan)
+    assert(nodes.collect { case w: WindowExec => w }.isEmpty,
+      "the share must come from the broadcast total, not a window")
+    assert(nodes.exists { case _: BaseAggregateExec => true; case _ => false })
+  }
+
   test("streaming URL dedup: first-in-horizon survives, state is watermark-bounded") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.StreamDedup
