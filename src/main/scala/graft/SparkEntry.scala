@@ -112,6 +112,8 @@ object SparkEntry {
     "q_dsir_weights" -> (qDsirWeights(_, _)),
     "q_kn_counts" -> (qKnCounts(_, _)),
     "q_corpus_mix" -> (qCorpusMix(_, _)),
+    "q_lexical_diversity" -> (qLexicalDiversity(_, _)),
+    "q_soft404" -> (qSoft404(_, _)),
     "q_token_budget" -> (qTokenBudget(_, _)),
     "q_lang_mix" -> (qLangMix(_, _)),
     "q_seq_pack" -> (qSeqPack(_, _)),
@@ -742,6 +744,35 @@ object SparkEntry {
         |JOIN counts ca ON ca.cid = p.id_a
         |JOIN counts cb ON cb.cid = p.id_b
         |LEFT JOIN shared s ON s.id_a = p.id_a AND s.id_b = p.id_b""".stripMargin,
+    // Type-token ratio: same tokenization as the KN/contamination
+    // oracles; truncating integer milli.
+    "q_lexical_diversity" ->
+      """WITH toks AS (
+        | SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+        |   '[^a-z0-9_]+'), x -> length(x) > 0) AS tk
+        | FROM documents)
+        |SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+        | CAST(len(list_distinct(tk)) AS BIGINT) AS n_types,
+        | CAST(CASE WHEN len(tk) = 0 THEN 0
+        |  ELSE (1000 * len(list_distinct(tk))) // len(tk) END AS BIGINT)
+        |  AS ttr_milli
+        |FROM toks""".stripMargin,
+    // Soft-404: phrase hit AND short body, planted every 13th doc.
+    "q_soft404" ->
+      """WITH d AS (
+        | SELECT doc_id, CASE WHEN doc_id % 13 = 0
+        |  THEN 'Page Not Found - the requested page does not exist'
+        |  ELSE text END AS t
+        | FROM documents)
+        |SELECT doc_id,
+        | regexp_matches(lower(t),
+        |  'page not found|error 404|does not exist|no longer available')
+        |  AS phrase_hit,
+        | length(t) < 500 AS is_short,
+        | (regexp_matches(lower(t),
+        |   'page not found|error 404|does not exist|no longer available')
+        |  AND length(t) < 500) AS soft404
+        |FROM d""".stripMargin,
     // Corpus-mixture report: whitespace token counts (the
     // q_token_count form), bounded group dimension, integer-milli
     // shares of the dimension's own total.

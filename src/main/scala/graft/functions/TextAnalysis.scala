@@ -310,6 +310,52 @@ object TextAnalysis {
             col("n_lines"), 4)).as("dup_line_frac"))
   }
 
+  /** Type-token ratio (lexical diversity) per document in integer
+    * milli — the unique-word-fraction family of quality signals
+    * (Gopher's repetition rules bound its inverse; a near-zero TTR on
+    * a long page is keyword-stuffing/spam). ONE doc-keyed aggregate:
+    * count(*) and count(DISTINCT w) share the same two-phase exchange,
+    * then a left join back so empty documents report zeros.
+    * Truncating integer DIV — no float ties.
+    *
+    * @return (idCol, n_tokens, n_types, ttr_milli)
+    */
+  def lexicalDiversity(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val ex = df.select(col(idCol).as("doc_id_"),
+      explode(filter(split(lower(col(textCol)), "[^a-z0-9_]+"),
+        t => length(t) > 0)).as("w"))
+    val agg = ex.groupBy("doc_id_")
+      .agg(count(lit(1)).as("n_tokens"), countDistinct(col("w")).as("n_types"))
+    df.select(col(idCol).as("doc_id_")).join(agg, Seq("doc_id_"), "left")
+      .select(col("doc_id_").as(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_types"), lit(0L)).as("n_types"))
+      .withColumn("ttr_milli", when(col("n_tokens") === 0, lit(0L))
+        .otherwise(expr("(1000 * n_types) DIV n_tokens")))
+  }
+
+  /** Soft-404 phrase alternation (RE2-compatible, lowercase input). */
+  val Soft404Pattern: String =
+    "page not found|error 404|does not exist|no longer available"
+
+  /** Soft-404 detection: pages served with HTTP 200 whose CONTENT is
+    * an error page — a large-scale crawl retires these from the
+    * frontier and excludes them from the corpus, but no status code
+    * marks them. Heuristic of public crawl practice: an error phrase
+    * AND a short body (error templates are small; a long article that
+    * merely mentions "error 404" stays). Pure codegen'd map — two
+    * scalar predicates fused into the scan, no UDF, no shuffle.
+    *
+    * @return columns (phrase_hit, is_short, soft404)
+    */
+  def soft404Flag(text: Column, maxChars: Int = 500): Seq[Column] = {
+    val hit = lower(text).rlike(Soft404Pattern)
+    val short = length(text) < maxChars
+    Seq(hit.as("phrase_hit"), short.as("is_short"),
+      (hit && short).as("soft404"))
+  }
+
   /** The Gopher paper's stopword set for the "≥ 2 stopwords" rule
     * (Rae et al. 2021, Table A1) — distinct from the language-ID
     * vocabularies above, public. */

@@ -1195,6 +1195,24 @@ object QueryCatalog {
     Curation.corpusMixReport(t(spark, dir, "documents"),
       Seq("lang", "source"), TextAnalysis.tokenCount(col("text")))
 
+  /** Type-token ratio ([[TextAnalysis.lexicalDiversity]]) per doc. */
+  def qLexicalDiversity(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.lexicalDiversity(t(spark, dir, "documents"),
+      "doc_id", "text")
+
+  /** Soft-404 detection ([[TextAnalysis.soft404Flag]]) over documents
+    * with planted error pages (every 13th doc's text replaced by a
+    * short not-found template — deterministic, restated in the
+    * oracle).
+    */
+  def qSoft404(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents").select(col("doc_id"),
+      when(col("doc_id") % 13 === 0,
+        lit("Page Not Found - the requested page does not exist"))
+        .otherwise(col("text")).as("text"))
+    d.select(col("doc_id") +: TextAnalysis.soft404Flag(col("text")): _*)
+  }
+
   /** Crawl-snapshot diff ([[graft.operators.SnapshotDiff.diff]]):
     * snapshot A drops `doc_id % 5 == 4`, snapshot B drops
     * `doc_id % 5 == 0` and mutates content where `doc_id % 7 == 0`,

@@ -259,4 +259,40 @@ class TextAnalysisSpec extends AnyFunSuite {
       toks.sliding(2).map(p => w(p.mkString(" "))).sum
     assert(score("The cat SAT") === expected) // lowercased tokenization
   }
+
+  test("lexicalDiversity: TTR milli, repeats depress it, empty doc zero") {
+    val docs = Seq(
+      (1L, "one two three"),       // 3 types / 3 tokens -> 1000
+      (2L, "spam spam spam spam"), // 1 / 4 -> 250
+      (3L, "a b a"),               // 2 / 3 -> 666 (truncating DIV)
+      (4L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.lexicalDiversity(docs, "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out(1L) === ((3L, 3L, 1000L)))
+    assert(out(2L) === ((4L, 1L, 250L)))
+    assert(out(3L) === ((3L, 2L, 666L)))
+    assert(out(4L) === ((0L, 0L, 0L)), "empty doc joins back with zeros")
+  }
+
+  test("soft404Flag: phrase AND short body required; long mentions stay") {
+    val longBody = "error 404 history essay " + ("x " * 400)
+    val docs = Seq(
+      (1L, "Page Not Found - nothing here"),  // phrase + short -> soft404
+      (2L, longBody),                         // phrase but long -> keep
+      (3L, "tiny page"),                      // short but no phrase -> keep
+      (4L, "This article does not exist yet")) // wiki-style: phrase+short
+      .toDF("doc_id", "text")
+    val out = docs
+      .select(col("doc_id") +: TextAnalysis.soft404Flag(col("text")): _*)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getBoolean(1), r.getBoolean(2), r.getBoolean(3)))).toMap
+    assert(out(1L) === ((true, true, true)))
+    assert(out(2L) === ((true, false, false)),
+      "a long article mentioning the phrase is not a soft 404")
+    assert(out(3L) === ((false, true, false)))
+    assert(out(4L) === ((true, true, true)))
+  }
 }
