@@ -93,6 +93,34 @@ object TextAnalysis {
       lit(0.0)), lit(1.0)), 4)
   }
 
+  /** Null-padded word k-grams of a token-array column, built per row
+    * with a chain of null-safe `zip_with`s against shifted `slice`s:
+    * entry i (0-based) is `tk[i] ++ " " ++ … ++ tk[i+k-1]` when the
+    * gram is complete and NULL otherwise, so the output array has
+    * exactly `size(tk)` entries and a gram's index IS its token
+    * position. This is the per-row alternative to the posexplode +
+    * window-`lead` relational gram builder: zero shuffles (grams fall
+    * out of the projection, so a following per-doc aggregate partial-
+    * aggregates map-side), and it stays clear of the documented O(n²)
+    * projection-collapse trap — every lambda touches only its own
+    * variables, and `tk` appears as a direct argument (multiple static
+    * references, which CollapseProject will not re-inline).
+    */
+  def arrayGramsPadded(tk: Column, k: Int): Column =
+    (2 to k).foldLeft(tk) { (acc, j) =>
+      zip_with(acc, slice(tk, lit(j), greatest(size(tk) - (j - 1), lit(1))),
+        (a, b) => when(a.isNull || b.isNull, lit(null).cast("string"))
+          .otherwise(concat(a, lit(" "), b)))
+    }
+
+  /** [[arrayGramsPadded]] with the incomplete-tail NULLs dropped: the
+    * complete k-grams in position order (`size(tk) - k + 1` of them,
+    * empty when the document is shorter than `k` tokens).
+    */
+  def arrayGrams(tk: Column, k: Int): Column =
+    if (k <= 1) tk
+    else filter(arrayGramsPadded(tk, k), g => g.isNotNull)
+
   /** Cross-engine 32-bit hash: first 8 hex digits of md5, as a long.
     * Deterministic and expressible identically in ANSI-ish SQL
     * (DuckDB: `('0x' || substr(md5(s),1,8))::BIGINT`) — the primitive
@@ -313,24 +341,26 @@ object TextAnalysis {
   /** Type-token ratio (lexical diversity) per document in integer
     * milli — the unique-word-fraction family of quality signals
     * (Gopher's repetition rules bound its inverse; a near-zero TTR on
-    * a long page is keyword-stuffing/spam). ONE doc-keyed aggregate:
-    * count(*) and count(DISTINCT w) share the same two-phase exchange,
-    * then a left join back so empty documents report zeros.
-    * Truncating integer DIV — no float ties.
+    * a long page is keyword-stuffing/spam). PURE MAP: both counts are
+    * array expressions over the row's own token array (`size` /
+    * `size(array_distinct)`), fused into the scan — the previous form
+    * exploded every token, shuffled the whole token stream into a
+    * doc-keyed count-distinct aggregate and joined the result back,
+    * three corpus-sized data movements for two per-row numbers (guide
+    * §2.4). Empty/NULL text reports zeros as before. Truncating
+    * integer DIV — no float ties.
     *
     * @return (idCol, n_tokens, n_types, ttr_milli)
     */
   def lexicalDiversity(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String): org.apache.spark.sql.DataFrame = {
-    val ex = df.select(col(idCol).as("doc_id_"),
-      explode(filter(split(lower(col(textCol)), "[^a-z0-9_]+"),
-        t => length(t) > 0)).as("w"))
-    val agg = ex.groupBy("doc_id_")
-      .agg(count(lit(1)).as("n_tokens"), countDistinct(col("w")).as("n_types"))
-    df.select(col(idCol).as("doc_id_")).join(agg, Seq("doc_id_"), "left")
-      .select(col("doc_id_").as(idCol),
-        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
-        coalesce(col("n_types"), lit(0L)).as("n_types"))
+    val tk = filter(split(lower(col(textCol)), "[^a-z0-9_]+"),
+      t => length(t) > 0)
+    df.select(col(idCol), tk.as("tk"))
+      .select(col(idCol),
+        coalesce(size(col("tk")).cast("long"), lit(0L)).as("n_tokens"),
+        coalesce(size(array_distinct(col("tk"))).cast("long"), lit(0L))
+          .as("n_types"))
       .withColumn("ttr_milli", when(col("n_tokens") === 0, lit(0L))
         .otherwise(expr("(1000 * n_types) DIV n_tokens")))
   }
@@ -551,10 +581,14 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_docs"),
         expr("sum(dl) DIV count(1)").as("avgdl"))
     // dl rides the tf aggregate (constant per doc, max is exact) — no
-    // separate id-keyed dl join, one fewer shuffle and tokenize pass
+    // separate id-keyed dl join, one fewer tokenize pass. The term
+    // filter runs INSIDE the token array, before the explode: only the
+    // query's own term occurrences ever become rows (guide §2.3 —
+    // exploding every corpus token just to drop ~all of them shipped
+    // the whole token stream through the generator for nothing).
     val tf = docs.select(col(idCol), size(col("tk")).cast("long").as("dl"),
-        explode(col("tk")).as("term"))
-      .filter(col("term").isin(terms: _*))
+        explode(filter(col("tk"),
+          t => t.isin(terms.map(lit): _*))).as("term"))
       .groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))

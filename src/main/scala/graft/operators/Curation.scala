@@ -350,25 +350,21 @@ object Curation {
     * bigram-keyed shuffle join back to the occurrences — the bigram
     * dimension is UNBOUNDED on web text, so it is never hinted
     * broadcast (same reasoning as [[TextAnalysis.topTerms]]) — and a
-    * per-doc aggregate. Bigrams are stated relationally (posexplode +
-    * window lead), never as an array lambda over another column.
+    * per-doc aggregate. Bigrams are built PER ROW
+    * ([[TextAnalysis.arrayGrams]]: null-safe zip_with against the
+    * 1-shifted slice — lambdas touch only their own variables), so the
+    * corpus-sized shuffle+sort the old posexplode + window-`lead` form
+    * paid just to pair adjacent tokens is gone (guide §2.4).
     *
     * @return one row per doc: (idCol, n_bigrams, ilog_sum,
     *         familiarity_milli)
     */
   def familiarityScore(df: DataFrame, idCol: String,
                        textCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val toks = filter(split(lower(col(textCol)), "[^a-z0-9_']+"),
       t => length(t) > 0)
-    val w = Window.partitionBy("doc_id_").orderBy("pos")
-    val bgs = df.select(col(idCol).as("doc_id_"), toks.as("tk"))
-      .filter(size(col("tk")) >= 2)
-      .select(col("doc_id_"), posexplode(col("tk")).as(Seq("pos", "tok")))
-      .select(col("doc_id_"), col("tok"),
-        lead(col("tok"), 1).over(w).as("nxt"))
-      .filter(col("nxt").isNotNull)
-      .select(col("doc_id_"), concat_ws(" ", col("tok"), col("nxt")).as("bg"))
+    val bgs = df.select(col(idCol).as("doc_id_"),
+        explode(TextAnalysis.arrayGrams(toks, 2)).as("bg"))
     val counts = bgs.groupBy(col("bg")).agg(count(lit(1)).as("c"))
     val perDoc = bgs.join(counts, "bg")
       .select(col("doc_id_"), (length(bin(col("c"))) - 1).cast("long").as("ilog"))
@@ -416,22 +412,16 @@ object Curation {
   def dsirWeights(df: DataFrame, idCol: String, textCol: String,
                   targetPred: Column, buckets: Int = 65536): DataFrame = {
     require(buckets >= 2, s"buckets must be >= 2, got $buckets")
-    // posexplode + lead, never an array column inside a lambda (the
-    // projection-collapse O(n²) foot-gun) — same idiom as
-    // [[familiarityScore]]'s bigram builder.
-    val toks = df.select(col(idCol).as("doc_id_"),
-      targetPred.as("is_target"),
-      posexplode(filter(split(lower(col(textCol)), "[^a-z0-9_']+"),
-        t => length(t) > 0)).as(Seq("pos", "tok")))
-    val wDoc = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id_").orderBy("pos")
-    val withNext = toks.withColumn("nxt", lead(col("tok"), 1).over(wDoc))
-    val unis = withNext.select(col("doc_id_"), col("is_target"),
-      col("tok").as("g"))
-    val bis = withNext.filter(col("nxt").isNotNull)
-      .select(col("doc_id_"), col("is_target"),
-        concat_ws(" ", col("tok"), col("nxt")).as("g"))
-    val feats = unis.unionByName(bis)
+    // the uni+bigram feature list is built PER ROW (tokens ++ null-safe
+    // zip_with bigrams, [[TextAnalysis.arrayGrams]]) and exploded once:
+    // the old posexplode + window-`lead` + two-branch union shuffled
+    // the whole token stream into per-doc sorts and scanned the input
+    // twice just to pair adjacent tokens (guide §2.4).
+    val tk = filter(split(lower(col(textCol)), "[^a-z0-9_']+"),
+      t => length(t) > 0)
+    val feats = df.select(col(idCol).as("doc_id_"),
+        targetPred.as("is_target"),
+        explode(concat(tk, TextAnalysis.arrayGrams(tk, 2))).as("g"))
       .select(col("doc_id_"), col("is_target"),
         pmod(TextAnalysis.portableHash(col("g")), lit(buckets)).as("f"))
     val raw = feats.groupBy("f").agg(count(lit(1)).as("c_r"))
@@ -493,25 +483,34 @@ object Curation {
     * matches [[Dedup]]'s proven cross-engine form
     * (`[^a-z0-9_]+` split, lowercase, empties dropped).
     *
-    * ONE corpus-sized aggregate: predecessors ride each token row via a
-    * per-doc lag window (bounded by that document's own length, never
-    * corpus-global — the sessionization partitioning discipline), then
+    * ONE corpus-sized aggregate: each token's predecessor is attached
+    * PER ROW by zipping the token array with its right-shifted self
+    * (null prepended — the per-doc leading token keeps a null
+    * predecessor exactly as the old lag-window form produced), then
     * groupBy(word) computes count(*) and count(DISTINCT prev) in the
-    * same two-phase exchange. count(DISTINCT) skips the per-doc leading
-    * null, so N1+ ranges over true bigrams only — exactly the paper's
-    * definition. No join back, no second shuffle.
+    * same two-phase exchange. The previous form shuffled the whole
+    * token stream into per-doc windows JUST to run `lag(1)` — the
+    * shift is a row-local array operation, so that corpus-sized
+    * exchange+sort is gone (guide §2.4) and the word aggregate
+    * partial-aggregates straight off the scan. count(DISTINCT) skips
+    * the leading null, so N1+ ranges over true bigrams only — exactly
+    * the paper's definition. No join back, no second shuffle.
     *
     * @return (word, c_total, n_cont)
     */
   def knContinuationCounts(df: DataFrame, idCol: String,
       textCol: String): DataFrame = {
-    val toks = df.select(col(idCol).as("doc_id_"),
-      posexplode(filter(split(lower(col(textCol)), "[^a-z0-9_]+"),
-        t => length(t) > 0)).as(Seq("pos", "w")))
-    val wDoc = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id_").orderBy("pos")
-    toks.withColumn("prev", lag(col("w"), 1).over(wDoc))
-      .groupBy(col("w").as("word"))
+    val tk = filter(split(lower(col(textCol)), "[^a-z0-9_]+"),
+      t => length(t) > 0)
+    // zip_with pads to the LONGER side (size+1): the extra tail entry
+    // carries a null word and is dropped by the filter below
+    val pairs = df.select(zip_with(tk,
+        concat(array(lit(null).cast("string")), tk),
+        (w, p) => struct(w.as("w"), p.as("prev"))).as("ps"))
+      .select(explode(col("ps")).as("s"))
+      .select(col("s.w").as("word"), col("s.prev").as("prev"))
+      .where(col("word").isNotNull)
+    pairs.groupBy(col("word"))
       .agg(count(lit(1)).as("c_total"),
         countDistinct(col("prev")).as("n_cont"))
   }

@@ -242,9 +242,13 @@ object Dedup {
         val neighborMin = edges
           .join(labels, edges("id_b") === labels("v"))
           .groupBy(col("id_a").as("nv")).agg(min(col("label")).as("nmin"))
+        // the round's previous label rides along as `prev` so the
+        // convergence check is a join-FREE scan of the checkpointed
+        // result (the old form re-joined next against labels — one
+        // whole extra shuffle join per round just to count changes)
         val hop = ckpt(labels
           .join(neighborMin, labels("v") === col("nv"), "left")
-          .select(col("v"),
+          .select(col("v"), col("label").as("prev"),
             least(col("label"), coalesce(col("nmin"), col("label"))).as("label")))
         // pointer halving: label := min(label, label(label)) — min
         // labels only shrink, so composing the label map with itself is
@@ -252,13 +256,12 @@ object Dedup {
         val next = ckpt(hop.as("a")
           .join(hop.select(col("v").as("lv"), col("label").as("llabel")),
             col("a.label") === col("lv"), "left")
-          .select(col("a.v").as("v"),
+          .select(col("a.v").as("v"), col("a.prev").as("prev"),
             least(col("a.label"), coalesce(col("llabel"), col("a.label")))
               .as("label")))
         val changed = next
-          .join(labels.select(col("v"), col("label").as("prev")), Seq("v"))
           .filter(col("label") =!= col("prev")).limit(1).count()
-        labels = next
+        labels = next.select(col("v"), col("label"))
         converged = changed == 0L
         iter += 1
       }
