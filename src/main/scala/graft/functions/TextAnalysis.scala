@@ -160,7 +160,11 @@ object TextAnalysis {
     val leadCols = (1 until k).map(i => lead(col("tok"), i).over(wLead).as(s"l$i"))
     // complete-gram count per doc is known BEFORE the explode
     // (size - k + 1) — carrying it as a column saves a third
-    // whole-partition WindowExec pass over the exploded grams
+    // whole-partition WindowExec pass over the exploded grams.
+    // (Round-6 note: a pure-map zip_with/fold formulation of the grams
+    // and sliding minima was measured — the k-1 + w-1 chained
+    // interpreted array re-materializations cost ~3× the two doc-keyed
+    // windows they replace; the relational form stays.)
     val grams = docsT.filter(size(col("tk")) >= k)
       .withColumn("m", (size(col("tk")) - (k - 1)).cast("long"))
       .select(col(idCol), col("m"), posexplode(col("tk")).as(Seq("pos", "tok")))
@@ -285,55 +289,56 @@ object TextAnalysis {
     * auto-generated / template / keyword-stuffed pages a training-
     * data pipeline drops before dedup even runs.
     *
-    * Scale shape: one posexplode, one per-doc lead window, two
-    * doc-keyed aggregates and a doc-keyed join — every shuffle is
-    * keyed by the document id, no unbounded dimension is ever
-    * broadcast, and no array lambda references the upstream split
-    * (the explode+window form evaluates each token exactly once; see
-    * [[winnowFingerprintsTokens]] for why the nested-`transform`
-    * form is O(n²) after projection collapse).
+    * Scale shape (round-6): PURE MAP — every signal is an array
+    * expression over the row's own token array, fused with the scan.
+    * Bigrams are the null-safe [[arrayGrams]] zip (no window), the
+    * top-bigram multiplicity is a run-length fold over the row's
+    * SORTED bigram array, and the pseudo-lines are the chunk-grams at
+    * positions ≡ 0 (mod chunk) of [[arrayGramsPadded]]. The previous
+    * form exploded every token, ran a per-doc lead window, two
+    * doc-keyed aggregate chains (one with a per-line collect_list
+    * sort) and two joins back — five corpus-sized data movements for
+    * per-row numbers (guide §2.4). Lambdas touch only their own
+    * variables (the documented O(n²) collapse trap needs an array
+    * reference inside a lambda body). Emits one row per INPUT row
+    * (ids are expected unique, as everywhere in this catalog).
     */
   def repetitionProfile(df: org.apache.spark.sql.DataFrame, idCol: String,
                         textCol: String, chunk: Int = 5)
       : org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val toks = filter(split(lower(col(textCol)), "[^a-z0-9_]+"),
       t => length(t) > 0)
-    val ex = df.select(col(idCol), posexplode(toks).as(Seq("pos", "tok")))
-    val wLead = Window.partitionBy(idCol).orderBy("pos")
-    val bgStats = ex
-      .withColumn("nxt", lead(col("tok"), 1).over(wLead))
-      .filter(col("nxt").isNotNull)
-      .select(col(idCol), concat_ws(" ", col("tok"), col("nxt")).as("bg"))
-      .groupBy(col(idCol), col("bg")).agg(count(lit(1)).as("c"))
-      .groupBy(col(idCol))
-      .agg(max(col("c")).as("top_bigram_count"),
-        sum(col("c")).as("total_bigrams"))
-    // complete fixed-width pseudo-lines; token order inside a line is
-    // restored by sorting the (pos, tok) structs collected per line —
-    // a per-line array of `chunk` elements, never the whole doc
-    val lineStats = ex
-      .withColumn("line_id", expr(s"pos div $chunk"))
-      .groupBy(col(idCol), col("line_id"))
-      .agg(count(lit(1)).as("n"),
-        concat_ws(" ", transform(
-          array_sort(collect_list(struct(col("pos"), col("tok")))),
-          s => s.getField("tok"))).as("line"))
-      .filter(col("n") === chunk)
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_lines"),
-        (count(lit(1)) - countDistinct(col("line"))).as("n_dup_lines"))
-    df.select(col(idCol)).distinct()
-      .join(bgStats, Seq(idCol), "left")
-      .join(lineStats, Seq(idCol), "left")
+    val lines = filter(zip_with(arrayGramsPadded(col("tk"), chunk),
+        sequence(lit(0), size(col("tk")) - 1),
+        (g, i) => when(pmod(i, lit(chunk)) === 0, g)),
+      x => x.isNotNull)
+    // run-length fold over the sorted bigram multiset: the maximum run
+    // of equal adjacent entries IS the top bigram's occurrence count
+    val topCount = aggregate(array_sort(col("bg")),
+      struct(lit(0L).as("run"), lit(0L).as("best"),
+        lit(null).cast("string").as("prev")),
+      (acc, x) => {
+        val run = when(acc.getField("prev") === x,
+          acc.getField("run") + 1L).otherwise(lit(1L))
+        struct(run.as("run"),
+          greatest(acc.getField("best"), run).as("best"), x.as("prev"))
+      },
+      acc => acc.getField("best"))
+    df.select(col(idCol), toks.as("tk"))
+      .select(col(idCol), col("tk"), arrayGrams(col("tk"), 2).as("bg"),
+        lines.as("lines"))
       .select(col(idCol),
-        coalesce(col("total_bigrams"), lit(0L)).as("total_bigrams"),
-        coalesce(col("top_bigram_count"), lit(0L)).as("top_bigram_count"),
-        when(coalesce(col("total_bigrams"), lit(0L)) === 0, lit(0.0))
+        coalesce(size(col("bg")).cast("long"), lit(0L)).as("total_bigrams"),
+        coalesce(topCount, lit(0L)).as("top_bigram_count"),
+        coalesce(size(col("lines")).cast("long"), lit(0L)).as("n_lines"),
+        coalesce((size(col("lines")) - size(array_distinct(col("lines"))))
+          .cast("long"), lit(0L)).as("n_dup_lines"))
+      .select(col(idCol), col("total_bigrams"), col("top_bigram_count"),
+        when(col("total_bigrams") === 0, lit(0.0))
           .otherwise(round(col("top_bigram_count").cast("double") /
             col("total_bigrams"), 4)).as("top_bigram_frac"),
-        coalesce(col("n_lines"), lit(0L)).as("n_lines"),
-        when(coalesce(col("n_lines"), lit(0L)) === 0, lit(0.0))
+        col("n_lines"),
+        when(col("n_lines") === 0, lit(0.0))
           .otherwise(round(col("n_dup_lines").cast("double") /
             col("n_lines"), 4)).as("dup_line_frac"))
   }

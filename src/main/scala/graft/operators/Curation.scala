@@ -483,34 +483,28 @@ object Curation {
     * matches [[Dedup]]'s proven cross-engine form
     * (`[^a-z0-9_]+` split, lowercase, empties dropped).
     *
-    * ONE corpus-sized aggregate: each token's predecessor is attached
-    * PER ROW by zipping the token array with its right-shifted self
-    * (null prepended — the per-doc leading token keeps a null
-    * predecessor exactly as the old lag-window form produced), then
+    * ONE corpus-sized aggregate: predecessors ride each token row via a
+    * per-doc lag window (bounded by that document's own length, never
+    * corpus-global — the sessionization partitioning discipline), then
     * groupBy(word) computes count(*) and count(DISTINCT prev) in the
-    * same two-phase exchange. The previous form shuffled the whole
-    * token stream into per-doc windows JUST to run `lag(1)` — the
-    * shift is a row-local array operation, so that corpus-sized
-    * exchange+sort is gone (guide §2.4) and the word aggregate
-    * partial-aggregates straight off the scan. count(DISTINCT) skips
-    * the leading null, so N1+ ranges over true bigrams only — exactly
-    * the paper's definition. No join back, no second shuffle.
+    * same two-phase exchange. count(DISTINCT) skips the per-doc leading
+    * null, so N1+ ranges over true bigrams only — exactly the paper's
+    * definition. No join back, no second shuffle. (Round-6 note: a
+    * per-row struct-zip pairing was measured — building an
+    * array<struct> per row through the interpreted HOF path cost more
+    * than the lag window it replaced; the relational form stays.)
     *
     * @return (word, c_total, n_cont)
     */
   def knContinuationCounts(df: DataFrame, idCol: String,
       textCol: String): DataFrame = {
-    val tk = filter(split(lower(col(textCol)), "[^a-z0-9_]+"),
-      t => length(t) > 0)
-    // zip_with pads to the LONGER side (size+1): the extra tail entry
-    // carries a null word and is dropped by the filter below
-    val pairs = df.select(zip_with(tk,
-        concat(array(lit(null).cast("string")), tk),
-        (w, p) => struct(w.as("w"), p.as("prev"))).as("ps"))
-      .select(explode(col("ps")).as("s"))
-      .select(col("s.w").as("word"), col("s.prev").as("prev"))
-      .where(col("word").isNotNull)
-    pairs.groupBy(col("word"))
+    val toks = df.select(col(idCol).as("doc_id_"),
+      posexplode(filter(split(lower(col(textCol)), "[^a-z0-9_]+"),
+        t => length(t) > 0)).as(Seq("pos", "w")))
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id_").orderBy("pos")
+    toks.withColumn("prev", lag(col("w"), 1).over(wDoc))
+      .groupBy(col("w").as("word"))
       .agg(count(lit(1)).as("c_total"),
         countDistinct(col("prev")).as("n_cont"))
   }

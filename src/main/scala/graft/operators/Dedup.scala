@@ -382,6 +382,11 @@ object Dedup {
     val toks = filter(split(lower(col(textCol)), "\\W+"), t => length(t) > 0)
     val docsT = df.select(col(idCol).as("doc_id_"), toks.as("tk"))
 
+    // relational gram build (posexplode + window leads), NOT a zip_with
+    // array chain: measured in round 6, k-1 chained interpreted
+    // zip_withs re-materialize the gram array per stage and cost more
+    // than the doc-keyed window shuffle they save (the HOF path is
+    // CodegenFallback; q_minhash_pairs +1.1 s at sf0.1)
     val w = Window.partitionBy("doc_id_").orderBy("pos")
     val leadCols = (1 until shingleK).map(i => lead(col("tok"), i).over(w).as(s"l$i"))
     val bigShingles = docsT.filter(size(col("tk")) >= shingleK)
@@ -512,7 +517,9 @@ object Dedup {
 
   /** Distinct (doc, md5(token k-gram)) pairs — posexplode + window
     * lead (the relational shape; an array-lambda formulation would
-    * re-inline the token array per element).
+    * re-inline the token array per element, and even the bound-array
+    * zip_with chain measured SLOWER at k=8 — seven interpreted array
+    * re-materializations per row, round-6 measurement).
     */
   private def tokenGramKeys(df: DataFrame, idCol: String, textCol: String,
                             k: Int): DataFrame = {

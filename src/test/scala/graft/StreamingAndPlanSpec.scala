@@ -464,19 +464,23 @@ class StreamingAndPlanSpec extends AnyFunSuite {
       "no join, so no broadcast should appear")
   }
 
-  test("knContinuationCounts plan: window-free map-side pairing, one aggregate, no join") {
-    // the predecessor is attached per row by zipping the token array
-    // with its 1-shifted self (round-6 optimization: the old lag
-    // window shuffled the whole token stream into per-doc sorts just
-    // to pair adjacent tokens), then ONE groupBy(word) computes both
-    // counts; there must be no window and no join anywhere.
+  test("knContinuationCounts plan: per-doc windows only, one aggregate, no join") {
+    // the predecessor rides each token row via a window partitioned by
+    // the DOC key (bounded by that doc's own length — the
+    // sessionization discipline, never a corpus-global sort), then ONE
+    // groupBy(word) computes both counts; there must be no join back.
     import org.apache.spark.sql.execution.window.WindowExec
     import org.apache.spark.sql.execution.joins.BaseJoinExec
     val out = SparkEntry.queries("q_kn_counts")(spark, sfDir)
     assert(out.count() > 0)
     val nodes = planNodes(out.queryExecution.executedPlan)
-    assert(nodes.collect { case w: WindowExec => w }.isEmpty,
-      "predecessor pairing is a row-local array zip — no window may remain")
+    val windows = nodes.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty, "the lag still rides a per-doc window")
+    windows.foreach { w =>
+      val parts = w.partitionSpec.flatMap(_.references.toSeq).map(_.name).toSet
+      assert(parts == Set("doc_id_"),
+        s"window must partition by the doc key, got $parts:\n$w")
+    }
     assert(nodes.collect { case j: BaseJoinExec => j }.isEmpty,
       "count(*) and count(DISTINCT prev) share one aggregate — no join back")
   }
