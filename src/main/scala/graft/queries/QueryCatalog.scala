@@ -455,8 +455,13 @@ object QueryCatalog {
     val b2 = ids.map(i => (i, 3000L + i % 997)).toSeq
     val b3 = Seq((-1L, 10000000L))
     val b4 = ids.filter(_ % 2 == 0).map(i => (i, 10000010L + i % 997)).toSeq
+    // state shards scale with the replay's key volume (≥1 per 4k keys),
+    // bounded by the session's own parallelism — never a constant tuned
+    // to either the local box or the fixture size
+    val sessionParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val stateParts = math.min(math.max(1, ids.length / 4000), sessionParts)
     graft.streaming.StreamDedup.replayBatches(spark, Seq(b1, b2, b3, b4),
-      horizon = "5000 seconds")
+      horizon = "5000 seconds", statePartitions = Some(stateParts))
   }
 
   /** Gap-timeout sessionization (6 h), batch twin of the

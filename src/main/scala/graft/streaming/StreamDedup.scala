@@ -45,8 +45,19 @@ object StreamDedup {
     * driver-side Seqs: VERIFICATION-scale only (the production entry
     * is [[dedupStream]] on a live readStream source).
     */
+  /** @param statePartitions number of state-store partitions for the
+    *   replay's streaming query (`spark.sql.shuffle.partitions` at
+    *   query start, restored afterwards). A replay of N driver-staged
+    *   rows wants state shards ∝ N, not the session's batch-join
+    *   parallelism: every micro-batch pays a fixed open/commit cost
+    *   PER STATE PARTITION, so 32 shards for a few thousand keys is
+    *   pure overhead (measured 2× the replay wall at sf0.1). None
+    *   leaves the session setting untouched.
+    */
   def replayBatches(spark: SparkSession, batches: Seq[Seq[(Long, Long)]],
-                    horizon: String): DataFrame = {
+                    horizon: String,
+                    statePartitions: Option[Int] = None): DataFrame = {
+    import java.nio.file.{Files, Paths}
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
@@ -54,13 +65,33 @@ object StreamDedup {
     val in = ms.toDF().toDF("urlHash", "sec")
       .withColumn("ts", timestamp_seconds(col("sec")))
     val name = s"graft_stream_dedup_replay_${replaySeq.incrementAndGet()}"
+    // state-store checkpoints on tmpfs when available: the default
+    // java.io.tmpdir sits on this sandbox's one throttled virtio disk,
+    // and every micro-batch fsyncs delta+commit files per state
+    // partition — placement, not semantics (the same policy as the
+    // engine's crawl-state dirs; a cluster writes these to its DFS)
+    val ckptBase =
+      if (Files.isDirectory(Paths.get("/dev/shm"))) Paths.get("/dev/shm")
+      else Paths.get(System.getProperty("java.io.tmpdir"))
+    val ckptDir = Files.createTempDirectory(ckptBase, "graft-stream-ckpt-")
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    statePartitions.foreach(n =>
+      spark.conf.set("spark.sql.shuffle.partitions", n.toString))
     val q = dedupStream(in, horizon)
       .select(col("urlHash"), col("sec"))
       .writeStream.outputMode("append")
+      .option("checkpointLocation", ckptDir.toString)
       .format("memory").queryName(name).start()
     try {
       batches.foreach { b => ms.addData(b); q.processAllAvailable() }
-    } finally q.stop()
+    } finally {
+      q.stop()
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      try {
+        import scala.sys.process._
+        Seq("rm", "-rf", ckptDir.toString).!
+      } catch { case _: Exception => }
+    }
     // pin the result: the memory-sink table is bound to the (stopped)
     // streaming query; downstream writes want a standalone frame
     val out = spark.table(name)
