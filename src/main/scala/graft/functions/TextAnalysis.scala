@@ -60,13 +60,39 @@ object TextAnalysis {
     * delegated to an external service we must not call.)
     */
   def langId(text: Column): Column = {
-    val en = stopwordRatio(text, EnStop)
-    val de = stopwordRatio(text, DeStop)
-    val es = stopwordRatio(text, EsStop)
-    when(greatest(en, de, es) < 0.02, lit("und"))
-      .when(en >= de && en >= es, lit("en"))
-      .when(de >= en && de >= es, lit("de"))
-      .otherwise(lit("es"))
+    // ONE pass over ONE tokenization: the three per-language hit
+    // counts (plus the token count) ride a single fold accumulator,
+    // and the argmax happens in the finish lambda. The previous form
+    // called stopwordRatio three times — three independent `split`s of
+    // the text plus three filter passes per row (HOF subtrees are
+    // CodegenFallback, so common-subexpression elimination never
+    // merged them). The ratio arithmetic in the finish lambda is the
+    // ORIGINAL expression verbatim (same double divisions, same
+    // comparisons), so results are bit-identical.
+    val w = words(text)
+    val zero = struct(lit(0).as("en"), lit(0).as("de"), lit(0).as("es"),
+      lit(0).as("n"))
+    def hit(x: Column, stop: Seq[String]): Column =
+      when(x.isin(stop.map(lit): _*), 1).otherwise(0)
+    // NULL text: the old form's when-chain fell through every null
+    // comparison to the final otherwise — preserved via coalesce
+    coalesce(aggregate(w, zero,
+      (acc, x) => struct(
+        (acc.getField("en") + hit(x, EnStop)).as("en"),
+        (acc.getField("de") + hit(x, DeStop)).as("de"),
+        (acc.getField("es") + hit(x, EsStop)).as("es"),
+        (acc.getField("n") + 1).as("n")),
+      acc => {
+        val n = acc.getField("n").cast("double")
+        def ratio(f: String): Column =
+          when(acc.getField("n") === 0, lit(0.0))
+            .otherwise(acc.getField(f).cast("double") / n)
+        val en = ratio("en"); val de = ratio("de"); val es = ratio("es")
+        when(greatest(en, de, es) < 0.02, lit("und"))
+          .when(en >= de && en >= es, lit("en"))
+          .when(de >= en && de >= es, lit("de"))
+          .otherwise(lit("es"))
+      }), lit("es"))
   }
 
   /** Document quality score in [0,1]: blends length saturation,

@@ -484,12 +484,16 @@ object QueryCatalog {
   def qQualityScore(spark: SparkSession, dir: String): DataFrame = {
     val txt = trim(col("text"))
     val chars = length(txt).cast("long")
-    val alpha = length(regexp_replace(txt, "[^a-zA-Z]", "")).cast("long")
+    // counting class members directly (regexp_count) yields the same
+    // number as length(regexp_replace(.., '[^..]', '')) without
+    // building the stripped string per row
+    val alpha = regexp_count(txt, lit("[a-zA-Z]")).cast("long")
     t(spark, dir, "documents")
       .select(col("doc_id"), least(chars, lit(500L)).as("len_score"),
-        when(chars === 0, lit(0L))
-          .otherwise(expr("length(regexp_replace(trim(text), '[^a-zA-Z]', '')) * 10000L div length(trim(text))"))
-          .as("alpha_bp"))
+        (alpha * 10000L).as("a10k"), chars.as("chars"))
+      .select(col("doc_id"), col("len_score"),
+        when(col("chars") === 0, lit(0L))
+          .otherwise(expr("a10k div chars")).as("alpha_bp"))
   }
 
   /** Text profile, fully oracle-checkable: language ID (stopword-ratio
@@ -505,12 +509,14 @@ object QueryCatalog {
     def bp(cleaned: Column): Column =
       when(chars === 0, lit(0L))
         .otherwise(floor((cleaned * 10000L) / chars).cast("long"))
+    // regexp_count of the class == length(regexp_replace) of its
+    // complement, without materializing the stripped string per row
     t(spark, dir, "documents")
       .select(col("doc_id"),
         TextAnalysis.langId(col("text")).as("lang_pred"),
-        bp(length(regexp_replace(txt, "[^!?.,;:]", "")).cast("long")).as("punct_bp"),
-        bp(length(regexp_replace(txt, "[^0-9]", "")).cast("long")).as("digit_bp"),
-        bp(length(regexp_replace(txt, "[^a-zA-Z]", "")).cast("long")).as("alpha_bp"))
+        bp(regexp_count(txt, lit("[!?.,;:]")).cast("long")).as("punct_bp"),
+        bp(regexp_count(txt, lit("[0-9]")).cast("long")).as("digit_bp"),
+        bp(regexp_count(txt, lit("[a-zA-Z]")).cast("long")).as("alpha_bp"))
   }
 
   def qStopwordRatio(spark: SparkSession, dir: String): DataFrame = {
