@@ -412,16 +412,22 @@ object Curation {
   def dsirWeights(df: DataFrame, idCol: String, textCol: String,
                   targetPred: Column, buckets: Int = 65536): DataFrame = {
     require(buckets >= 2, s"buckets must be >= 2, got $buckets")
-    // the uni+bigram feature list is built PER ROW (tokens ++ null-safe
-    // zip_with bigrams, [[TextAnalysis.arrayGrams]]) and exploded once:
-    // the old posexplode + window-`lead` + two-branch union shuffled
-    // the whole token stream into per-doc sorts and scanned the input
-    // twice just to pair adjacent tokens (guide §2.4).
-    val tk = filter(split(lower(col(textCol)), "[^a-z0-9_']+"),
-      t => length(t) > 0)
-    val feats = df.select(col(idCol).as("doc_id_"),
-        targetPred.as("is_target"),
-        explode(concat(tk, TextAnalysis.arrayGrams(tk, 2))).as("g"))
+    // posexplode + lead, never an array column inside a lambda (the
+    // projection-collapse O(n²) foot-gun) — same idiom as
+    // [[familiarityScore]]'s bigram builder.
+    val toks = df.select(col(idCol).as("doc_id_"),
+      targetPred.as("is_target"),
+      posexplode(filter(split(lower(col(textCol)), "[^a-z0-9_']+"),
+        t => length(t) > 0)).as(Seq("pos", "tok")))
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id_").orderBy("pos")
+    val withNext = toks.withColumn("nxt", lead(col("tok"), 1).over(wDoc))
+    val unis = withNext.select(col("doc_id_"), col("is_target"),
+      col("tok").as("g"))
+    val bis = withNext.filter(col("nxt").isNotNull)
+      .select(col("doc_id_"), col("is_target"),
+        concat_ws(" ", col("tok"), col("nxt")).as("g"))
+    val feats = unis.unionByName(bis)
       .select(col("doc_id_"), col("is_target"),
         pmod(TextAnalysis.portableHash(col("g")), lit(buckets)).as("f"))
     val raw = feats.groupBy("f").agg(count(lit(1)).as("c_r"))

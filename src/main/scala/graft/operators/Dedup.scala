@@ -407,13 +407,20 @@ object Dedup {
     // through the shuffle for the same 24 numbers). Permutation j's
     // hash is 32-bit word j%4 of md5((j/4) ':' shingle): four
     // independent words per md5, so 24 permutations cost 6 md5
-    // evaluations per shingle, and the ordered signature array falls
-    // straight out of the aggregate row.
+    // evaluations per shingle. The md5s are hoisted into their own
+    // projection (round-6): inside the aggregate each of the four
+    // word-extractions carried its own copy of the md5 call, and
+    // aggregate update expressions get no common-subexpression
+    // elimination — 24 md5 evaluations per shingle instead of 6.
+    val md5Groups = (numHashes + 3) / 4
+    val withMd5 = shingles.select(col("doc_id_") +:
+      (0 until md5Groups).map(g =>
+        md5(concat(lit(s"$g:"), col("sh"))).as(s"m$g")): _*)
     val minCols = (0 until numHashes).map { j =>
-      min(conv(substring(md5(concat(lit(s"${j / 4}:"), col("sh"))),
-        1 + 8 * (j % 4), 8), 16, 10).cast("long")).as(s"mh$j")
+      min(conv(substring(col(s"m${j / 4}"), 1 + 8 * (j % 4), 8), 16, 10)
+        .cast("long")).as(s"mh$j")
     }
-    val sigs = shingles.groupBy(col("doc_id_"))
+    val sigs = withMd5.groupBy(col("doc_id_"))
       .agg(minCols.head, minCols.tail: _*)
       .select(col("doc_id_"),
         array((0 until numHashes).map(j => col(s"mh$j")): _*).as("sig"))
@@ -549,16 +556,22 @@ object Dedup {
       t => graft.functions.TextAnalysis.portableHash(t))
 
   /** Majority-vote portable sketches, stated RELATIONALLY: explode the
-    * token hashes and aggregate `bits` signed bit-votes per document in
-    * ONE hash aggregate (a lambda formulation would re-evaluate the
-    * token-hash array per bit after projection collapse — 32× the
-    * hashing). Token-less documents sketch to 0 (explode_outer keeps
-    * them; null votes never win a bit). Returns (doc_id_, sketch).
+    * TOKENS, hash each in a codegen'd projection (round-6: hashing
+    * inside the `transform` lambda ran the md5 through the interpreted
+    * HOF path per token), and aggregate `bits` signed bit-votes per
+    * document in ONE hash aggregate (a lambda formulation would
+    * re-evaluate the token-hash array per bit after projection
+    * collapse — 32× the hashing). Token-less documents sketch to 0
+    * (explode_outer keeps them as one null-token row whose null hash
+    * never wins a bit). Returns (doc_id_, sketch).
     */
   private def portableSketches(df: DataFrame, idCol: String, textCol: String,
                                bits: Int): DataFrame = {
     val hrows = df.select(col(idCol).as("doc_id_"),
-      explode_outer(portableTokenHashes(col(textCol))).as("h"))
+        explode_outer(filter(split(lower(col(textCol)), "\\W+"),
+          t => length(t) > 0)).as("tok"))
+      .select(col("doc_id_"),
+        graft.functions.TextAnalysis.portableHash(col("tok")).as("h"))
     val voteCols = (0 until bits).map { b =>
       sum(shiftright(col("h"), b).bitwiseAND(lit(1L)) * 2 - 1).as(s"v$b")
     }

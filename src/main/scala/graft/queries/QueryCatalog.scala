@@ -230,11 +230,14 @@ object QueryCatalog {
     * connector_data ∪ workspace.metadata merge.
     */
   def qConfigMerge(spark: SparkSession, dir: String): DataFrame =
+    // json_tuple parses the JSON ONCE for both keys (two
+    // get_json_object calls each ran their own parse per row)
     t(spark, dir, "events")
       .select(col("event_id"),
-        coalesce(get_json_object(col("props"), "$.k"), lit("0")).as("cfg_k"),
-        coalesce(get_json_object(col("props"), "$.missing"), lit("fallback"))
-          .as("cfg_missing"))
+        json_tuple(col("props"), "k", "missing").as(Seq("jk", "jm")))
+      .select(col("event_id"),
+        coalesce(col("jk"), lit("0")).as("cfg_k"),
+        coalesce(col("jm"), lit("fallback")).as("cfg_missing"))
 
   /** P3 crawl-frequency gate (reference taskmanager.py:338-361): an
     * instance is schedulable only when now − last_crawl ≥ frequency.
