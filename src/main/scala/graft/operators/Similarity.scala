@@ -146,6 +146,33 @@ object Similarity {
       when(proj >= 0.0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** All `tables` portable signatures from ONE scan: the table id is
+    * exploded FIRST and each row's bucket evaluates `bits` dot
+    * products against planes looked up (by table) from one literal
+    * array-of-planes — so a single small codegen'd projection serves
+    * every table. The previous per-table unionByName re-scanned the
+    * input `tables` times and compiled `tables` separate codegen
+    * stages of `bits` dot products each (guide §2.4; the dominant cost
+    * of a cold run was that compilation). Row set and bucket values
+    * are identical: same [[portablePlaneComponent]] literals through
+    * the same [[graft.plans.FloatDoubleDot]] fold.
+    */
+  private def bucketedPortable(df: DataFrame, idName: String, vecName: String,
+                               dim: Int, bits: Int, tables: Int): DataFrame = {
+    val planes: Seq[Seq[Double]] = (0 until tables).flatMap(t =>
+      (0 until bits).map(p =>
+        (0 until dim).map(j => portablePlaneComponent(t, p, j)).toSeq))
+    val planesLit = typedLit(planes)
+    val sig = (0 until bits).map { p =>
+      val proj = graft.plans.VectorExprs.float_double_dot(col(vecName),
+        element_at(planesLit, col("table") * bits + p + 1))
+      when(proj >= 0.0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    df.select(col("id").as(idName), col("vec").as(vecName),
+        explode(sequence(lit(0), lit(tables - 1))).as("table"))
+      .select(col(idName), col(vecName), col("table"), sig.as("bucket"))
+  }
+
   /** [[lshTopK]] over the portable signatures — same bucket-join +
     * exact-rerank shape, every step oracle-checkable. The xxhash
     * variant stays as the throughput path.
@@ -153,11 +180,7 @@ object Similarity {
   def lshTopKPortable(queries: DataFrame, corpus: DataFrame, k: Int,
                       dim: Int, bits: Int = 10, tables: Int = 6): DataFrame = {
     def bucketed(df: DataFrame, idName: String, vecName: String): DataFrame =
-      (0 until tables).map { t =>
-        df.select(col("id").as(idName), col("vec").as(vecName),
-          lit(t).as("table"),
-          portableSig(col("vec"), dim, bits, t).as("bucket"))
-      }.reduce(_.unionByName(_))
+      bucketedPortable(df, idName, vecName, dim, bits, tables)
     val qb = bucketed(queries, "query_id", "qvec")
     val cb = bucketed(corpus, "neighbor_id", "cvec")
     val candidates = qb.join(cb, Seq("table", "bucket"))
@@ -176,11 +199,7 @@ object Similarity {
   def cosineDupPairsPortable(df: DataFrame, threshold: Double, dim: Int,
                              bits: Int = 8, tables: Int = 6): DataFrame = {
     def bucketed(idName: String, vecName: String): DataFrame =
-      (0 until tables).map { t =>
-        df.select(col("id").as(idName), col("vec").as(vecName),
-          lit(t).as("table"),
-          portableSig(col("vec"), dim, bits, t).as("bucket"))
-      }.reduce(_.unionByName(_))
+      bucketedPortable(df, idName, vecName, dim, bits, tables)
     bucketed("id_a", "vec_a").join(bucketed("id_b", "vec_b"), Seq("table", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "vec_a", "id_b", "vec_b")
