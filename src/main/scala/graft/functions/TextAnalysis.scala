@@ -498,6 +498,21 @@ object TextAnalysis {
     portableHash(feature) % buckets - lit(buckets / 2)
 
   def hashClassifierScore(text: Column, buckets: Int = 1001): Column = {
+    // native codegen'd kernel ([[graft.plans.ClassifierScore]]): the
+    // HOF formulation below remains the executable statement of the
+    // semantics (equivalence is test-pinned); the kernel replaces
+    // per-feature interpreted lambda dispatch + an interpreted
+    // md5/conv/substring subtree per feature with one generated call
+    // into a tight loop — same VectorFold rationale.
+    val tk = filter(split(lower(text), "[^a-z0-9_']+"), t => length(t) > 0)
+    graft.plans.ClassifierScore.classifier_score(tk, lit(buckets))
+  }
+
+  /** The original HOF fold form of [[hashClassifierScore]], kept as
+    * the executable semantics statement the native kernel must match
+    * (equivalence test-pinned).
+    */
+  def hashClassifierScoreFold(text: Column, buckets: Int = 1001): Column = {
     val tk = filter(split(lower(text), "[^a-z0-9_']+"), t => length(t) > 0)
     val uni = coalesce(
       aggregate(tk, lit(0L), (acc, t) => acc + hashFeatureWeight(t, buckets)),

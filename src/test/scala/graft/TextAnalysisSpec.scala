@@ -241,6 +241,20 @@ class TextAnalysisSpec extends AnyFunSuite {
     // doc 2 (3 tokens < minTokens) and doc 3 (empty) emit nothing
   }
 
+  test("hashClassifierScore native kernel == HOF fold form on varied inputs") {
+    // the round-6 codegen'd kernel (plans.ClassifierScore) must match
+    // the original aggregate/zip_with statement bit-for-bit, including
+    // edge shapes (empty, single token, punctuation-only, null)
+    val texts = Seq("", "hello", "the cat sat", "a", "!!!", "x y z w v u t",
+      "The cat SAT on the MAT", "unicode tÄst mixed 123 tok9ns", null)
+    val df = texts.toDF("text")
+    val rows = df.select(
+      TextAnalysis.hashClassifierScore($"text").as("kernel"),
+      coalesce(TextAnalysis.hashClassifierScoreFold($"text"), lit(0L)).as("fold"))
+      .collect()
+    rows.foreach(r => assert(r.getLong(0) === r.getLong(1), r.toString))
+  }
+
   test("hashClassifierScore: exact integer uni+bigram bucket-weight sum") {
     def w(s: String): Long = {
       val hex = java.security.MessageDigest.getInstance("MD5")
