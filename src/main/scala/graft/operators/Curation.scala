@@ -422,12 +422,15 @@ object Curation {
     val wDoc = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id_").orderBy("pos")
     val withNext = toks.withColumn("nxt", lead(col("tok"), 1).over(wDoc))
-    val unis = withNext.select(col("doc_id_"), col("is_target"),
-      col("tok").as("g"))
-    val bis = withNext.filter(col("nxt").isNotNull)
-      .select(col("doc_id_"), col("is_target"),
-        concat_ws(" ", col("tok"), col("nxt")).as("g"))
-    val feats = unis.unionByName(bis)
+    // each token row emits its unigram plus (when a successor exists)
+    // its bigram from ONE window pass — the old two-branch union
+    // duplicated the whole tokenize+posexplode+window subtree per
+    // branch (two scans, two window sorts, for one row multiset;
+    // guide §2.4)
+    val feats = withNext.select(col("doc_id_"), col("is_target"),
+        explode(when(col("nxt").isNotNull,
+            array(col("tok"), concat_ws(" ", col("tok"), col("nxt"))))
+          .otherwise(array(col("tok")))).as("g"))
       .select(col("doc_id_"), col("is_target"),
         pmod(TextAnalysis.portableHash(col("g")), lit(buckets)).as("f"))
     val raw = feats.groupBy("f").agg(count(lit(1)).as("c_r"))

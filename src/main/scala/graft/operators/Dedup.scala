@@ -399,7 +399,12 @@ object Dedup {
         (col("tok") +: (1 until shingleK).map(i => col(s"l$i"))): _*).as("sh"))
     val smallShingles = docsT.filter(size(col("tk")) < shingleK)
       .select(col("doc_id_"), concat_ws(" ", col("tk")).as("sh"))
-    val shingles = bigShingles.unionByName(smallShingles).distinct()
+    // NO distinct: the signature is a per-permutation MIN over the
+    // shingle hashes, and min is duplicate-insensitive — the old
+    // (doc, shingle) distinct was a whole extra shuffle of the gram
+    // stream for an aggregate that cannot see duplicates (guide §2.4;
+    // the oracle's list_distinct is likewise cosmetic for its min)
+    val shingles = bigShingles.unionByName(smallShingles)
 
     // all `numHashes` signature minima in ONE aggregate over the
     // shingle rows — no numHashes× explode, no second assembly
