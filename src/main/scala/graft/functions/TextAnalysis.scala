@@ -444,6 +444,24 @@ object TextAnalysis {
     * Returns the named signal columns; callers select what they need.
     */
   def gopherRules(text: Column): Seq[Column] = {
+    // native codegen'd kernel ([[graft.plans.GopherSignals]]): ONE
+    // generated pass over the text computes every signal; the HOF
+    // formulation below ([[gopherRulesHof]]) remains the executable
+    // statement of the semantics (equivalence test-pinned). The HOF
+    // form ran ~six interpreted CodegenFallback subtrees per row, each
+    // re-running the tokenizing split (no CSE across fallback
+    // subtrees) — same rationale as [[hashClassifierScore]]'s kernel.
+    val g = graft.plans.GopherSignals.gopher_signals(text)
+    Seq("n_words", "mean_word_len", "symbol_ratio", "bullet_frac",
+      "ellipsis_frac", "alpha_word_frac", "n_stop_hits", "gopher_pass")
+      .map(f => g.getField(f).as(f))
+  }
+
+  /** The original pure-Catalyst HOF form of [[gopherRules]], kept as
+    * the executable semantics statement the native kernel must match
+    * (equivalence test-pinned).
+    */
+  def gopherRulesHof(text: Column): Seq[Column] = {
     val tk = filter(split(trim(text), "\\s+"), t => length(t) > 0)
     val nWords = size(tk)
     val nWordsD = nWords.cast("double")

@@ -433,14 +433,19 @@ object Curation {
           .otherwise(array(col("tok")))).as("g"))
       .select(col("doc_id_"), col("is_target"),
         pmod(TextAnalysis.portableHash(col("g")), lit(buckets)).as("f"))
-    val raw = feats.groupBy("f").agg(count(lit(1)).as("c_r"))
-    val tgt = feats.filter(col("is_target"))
-      .groupBy("f").agg(count(lit(1)).as("c_t"))
+    // BOTH count distributions from ONE aggregate pass over the
+    // feature stream (guide §2.4): the former separate `tgt` branch
+    // re-ran the whole tokenize+window+explode subtree under a filter
+    // (the filter makes its exchange non-reusable), a second
+    // corpus-sized pass for counts a conditional aggregate produces
+    // for free. Buckets with no target hits count 0, which ilog2p1
+    // maps exactly like the former left-join NULL (bin(0+1) = "1").
+    val counts = feats.groupBy("f").agg(count(lit(1)).as("c_r"),
+      count(when(col("is_target"), 1)).as("c_t"))
     def ilog2p1(c: Column): Column =
       (length(bin(coalesce(c, lit(0L)) + 1)) - 1).cast("long")
     val perDoc = feats
-      .join(broadcast(raw), Seq("f"))
-      .join(broadcast(tgt), Seq("f"), "left")
+      .join(broadcast(counts), Seq("f"))
       .select(col("doc_id_"),
         (ilog2p1(col("c_t")) - ilog2p1(col("c_r"))).as("w"))
       .groupBy("doc_id_")

@@ -524,12 +524,19 @@ object QueryCatalog {
 
   def qStopwordRatio(spark: SparkSession, dir: String): DataFrame = {
     val stops = Seq("the", "a", "and", "of", "to", "in")
-    val w = filter(split(lower(col("text")), "[^a-z0-9_']+"), x => length(x) > 0)
+    // native one-pass kernel (plans.TokenStats) over the codegen'd
+    // split: the HOF statement (`size(filter(w, isin)) / size(w)` over
+    // w = filter(split(...))) ran the tokenizing split once per
+    // CodegenFallback filter parent with interpreted lambda dispatch
+    // per element; results bit-identical (equivalence test-pinned)
+    val g = graft.plans.TokenStats.token_stats(
+      split(lower(col("text")), "[^a-z0-9_']+"),
+      array(stops.map(lit): _*))
     t(spark, dir, "documents")
       .select(col("doc_id"),
-        round(when(size(w) === 0, lit(0.0)).otherwise(
-          size(filter(w, x => x.isin(stops.map(lit): _*))).cast("double") /
-            size(w).cast("double")), 4).as("stop_ratio"))
+        round(when(g.getField("n_tokens") === 0, lit(0.0)).otherwise(
+          g.getField("n_hits").cast("double") /
+            g.getField("n_tokens").cast("double")), 4).as("stop_ratio"))
   }
 
   /** Gopher-style repetition signals over the documents table

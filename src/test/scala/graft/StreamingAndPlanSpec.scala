@@ -669,10 +669,13 @@ class StreamingAndPlanSpec extends AnyFunSuite {
   }
 
   test("dsirWeights plan: hashed-feature count dims broadcast by construction") {
-    // the DSIR feature space is hashed to `buckets` ids, so BOTH count
-    // tables are bounded and must broadcast EVEN with auto-broadcast
+    // the DSIR feature space is hashed to `buckets` ids, so the count
+    // table is bounded and must broadcast EVEN with auto-broadcast
     // off (i.e. by explicit hint) — the opposite discipline of the
-    // unbounded familiarityScore/topTerms dimensions.
+    // unbounded familiarityScore/topTerms dimensions. Round-6: raw and
+    // target counts ride ONE conditional aggregate (one broadcast dim,
+    // one pass over the feature stream, where the former tgt branch
+    // re-ran the whole feature subtree under a filter).
     import org.apache.spark.sql.execution.exchange.BroadcastExchangeLike
     withAutoBroadcastOff {
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
@@ -681,7 +684,7 @@ class StreamingAndPlanSpec extends AnyFunSuite {
       assert(out.count() > 0)
       val broadcasts = planNodes(out.queryExecution.executedPlan)
         .collect { case b: BroadcastExchangeLike => b }
-      assert(broadcasts.size === 2,
+      assert(broadcasts.size === 1,
         s"got: ${broadcasts.map(_.output.map(_.name))}")
       assert(broadcasts.forall(_.output.map(_.name).toSet
         .subsetOf(Set("f", "c_r", "c_t"))),

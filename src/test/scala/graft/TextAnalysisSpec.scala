@@ -241,6 +241,53 @@ class TextAnalysisSpec extends AnyFunSuite {
     // doc 2 (3 tokens < minTokens) and doc 3 (empty) emit nothing
   }
 
+  test("gopherRules native kernel == HOF form on varied/adversarial inputs") {
+    // the round-6 codegen'd kernel (plans.GopherSignals) must match
+    // the original pure-Catalyst HOF statement field-for-field,
+    // including the unicode/locale edges the kernel re-implements:
+    // code-point lengths, UTF8String-style lowercase (Kelvin sign),
+    // 0x20-only trim, regexp_count's non-overlapping find
+    val texts = Seq(
+      null, "", " ", "\t", "the dog", "  spaced  out words  ",
+      "\tthe\tbe\tto of and that have with extra tabs",
+      "line one...\nline two…\n- bullet\n* star\n  • indented dot\nplain",
+      "# # tags ### and ...... dots ….",
+      ("the quick brown fox jumps over that lazy dog near a river " +
+        "bank and all of them have seen it happen with joy ") * 3,
+      "KELVIN theK WITH With wİth", // Kelvin sign lowers to 'k'
+      "emoji 😀 token café Über straße",
+      "ends with ellipsis...", "…", "...", "a\nb\nc\n", "\n\n\n",
+      "only-symbols !!! ??? ###")
+    val df = texts.toDF("text")
+    val kernel = df.select(TextAnalysis.gopherRules($"text"): _*).collect()
+    val hof = df.select(TextAnalysis.gopherRulesHof($"text"): _*).collect()
+    kernel.zip(hof).zip(texts).foreach { case ((k, h), t) =>
+      assert(k === h, s"mismatch on ${Option(t).map(_.take(60))}")
+    }
+  }
+
+  test("tokenStats native kernel == HOF filter/isin form") {
+    val stops = Seq("the", "a", "and", "of", "to", "in")
+    val texts = Seq(null, "", "THE the tHe", "a b c the of in zzz",
+      "unicode tÄst the", "  ", "'' the '", "in in in")
+    val df = texts.toDF("text")
+    val raw = split(lower($"text"), "[^a-z0-9_']+")
+    val g = graft.plans.TokenStats.token_stats(raw, array(stops.map(lit): _*))
+    val w = filter(raw, x => length(x) > 0)
+    val rows = df.select(
+      g.getField("n_tokens").as("kn"), g.getField("n_hits").as("kh"),
+      size(w).as("hn"),
+      size(filter(w, x => x.isin(stops.map(lit): _*))).as("hh")).collect()
+    rows.zip(texts).foreach { case (r, t) =>
+      if (t == null) {
+        assert(r.isNullAt(0) && r.isNullAt(1), s"null text: $r")
+      } else {
+        assert(r.getInt(0) === r.getInt(2), s"n mismatch on '$t': $r")
+        assert(r.getInt(1) === r.getInt(3), s"hits mismatch on '$t': $r")
+      }
+    }
+  }
+
   test("hashClassifierScore native kernel == HOF fold form on varied inputs") {
     // the round-6 codegen'd kernel (plans.ClassifierScore) must match
     // the original aggregate/zip_with statement bit-for-bit, including
