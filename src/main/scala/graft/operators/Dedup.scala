@@ -379,56 +379,21 @@ object Dedup {
                            capMetrics: Option[Observation] = None): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
-    val toks = filter(split(lower(col(textCol)), "\\W+"), t => length(t) > 0)
-    val docsT = df.select(col(idCol).as("doc_id_"), toks.as("tk"))
-
-    // relational gram build (posexplode + window leads), NOT a zip_with
-    // array chain: measured in round 6, k-1 chained interpreted
-    // zip_withs re-materialize the gram array per stage and cost more
-    // than the doc-keyed window shuffle they save (the HOF path is
-    // CodegenFallback; q_minhash_pairs +1.1 s at sf0.1)
-    val w = Window.partitionBy("doc_id_").orderBy("pos")
-    val leadCols = (1 until shingleK).map(i => lead(col("tok"), i).over(w).as(s"l$i"))
-    val bigShingles = docsT.filter(size(col("tk")) >= shingleK)
-      .select(col("doc_id_"), posexplode(col("tk")).as(Seq("pos", "tok")))
-      .select((col("doc_id_") +: col("tok") +: leadCols): _*)
-      // the window outputs materialize in the projection above; only
-      // complete k-shingles survive
-      .filter(col(s"l${shingleK - 1}").isNotNull)
-      .select(col("doc_id_"), concat_ws(" ",
-        (col("tok") +: (1 until shingleK).map(i => col(s"l$i"))): _*).as("sh"))
-    val smallShingles = docsT.filter(size(col("tk")) < shingleK)
-      .select(col("doc_id_"), concat_ws(" ", col("tk")).as("sh"))
-    // NO distinct: the signature is a per-permutation MIN over the
-    // shingle hashes, and min is duplicate-insensitive — the old
-    // (doc, shingle) distinct was a whole extra shuffle of the gram
-    // stream for an aggregate that cannot see duplicates (guide §2.4;
-    // the oracle's list_distinct is likewise cosmetic for its min)
-    val shingles = bigShingles.unionByName(smallShingles)
-
-    // all `numHashes` signature minima in ONE aggregate over the
-    // shingle rows — no numHashes× explode, no second assembly
-    // aggregate (round-2 shipped a (doc, j) explode: 24× the rows
-    // through the shuffle for the same 24 numbers). Permutation j's
-    // hash is 32-bit word j%4 of md5((j/4) ':' shingle): four
-    // independent words per md5, so 24 permutations cost 6 md5
-    // evaluations per shingle. The md5s are hoisted into their own
-    // projection (round-6): inside the aggregate each of the four
-    // word-extractions carried its own copy of the md5 call, and
-    // aggregate update expressions get no common-subexpression
-    // elimination — 24 md5 evaluations per shingle instead of 6.
-    val md5Groups = (numHashes + 3) / 4
-    val withMd5 = shingles.select(col("doc_id_") +:
-      (0 until md5Groups).map(g =>
-        md5(concat(lit(s"$g:"), col("sh"))).as(s"m$g")): _*)
-    val minCols = (0 until numHashes).map { j =>
-      min(conv(substring(col(s"m${j / 4}"), 1 + 8 * (j % 4), 8), 16, 10)
-        .cast("long")).as(s"mh$j")
-    }
-    val sigs = withMd5.groupBy(col("doc_id_"))
-      .agg(minCols.head, minCols.tail: _*)
-      .select(col("doc_id_"),
-        array((0 until numHashes).map(j => col(s"mh$j")): _*).as("sig"))
+    // the WHOLE signature in one generated pass per row
+    // ([[graft.plans.MinhashSig]]): shingling and the 24 md5-word
+    // minima are row-local, so the signature stage is now a PURE MAP
+    // fused with the scan — the relational statement (posexplode +
+    // window leads + one min aggregate, kept below as
+    // [[minhashSigsRelational]], equivalence test-pinned) shuffled the
+    // whole token stream into doc-keyed window sorts to compute 24
+    // per-doc numbers (guide §2.4: the banding join is this operator's
+    // only fundamental exchange). Null-text docs yield a null
+    // signature and are dropped, exactly like the old size filters.
+    val sigs = df.select(col(idCol).as("doc_id_"),
+        graft.plans.MinhashSig.minhash_sig(
+          split(lower(col(textCol)), "\\W+"),
+          lit(shingleK), lit(numHashes)).as("sig"))
+      .filter(col("sig").isNotNull)
 
     val banded = sigs
       .select(col("doc_id_"), col("sig"),
@@ -456,6 +421,44 @@ object Dedup {
           lit(0), (acc, v) => acc + v).cast("double") / numHashes, 4))
       .filter(col("est_jaccard") >= threshold)
       .select("id_a", "id_b", "est_jaccard")
+  }
+
+  /** The original relational statement of the portable MinHash
+    * signatures — posexplode + window leads build the shingles, one
+    * aggregate takes the `numHashes` minima (permutation j's hash is
+    * 32-bit word j%4 of md5((j/4) ':' shingle); the md5s are hoisted
+    * below the aggregate so 24 permutations cost 6 evaluations per
+    * shingle). Kept as the executable semantics statement the
+    * [[graft.plans.MinhashSig]] kernel must match (equivalence
+    * test-pinned); the kernel is the production path.
+    */
+  private[graft] def minhashSigsRelational(df: DataFrame, idCol: String,
+      textCol: String, shingleK: Int = 3, numHashes: Int = 24): DataFrame = {
+    val toks = filter(split(lower(col(textCol)), "\\W+"), t => length(t) > 0)
+    val docsT = df.select(col(idCol).as("doc_id_"), toks.as("tk"))
+    val w = Window.partitionBy("doc_id_").orderBy("pos")
+    val leadCols = (1 until shingleK).map(i => lead(col("tok"), i).over(w).as(s"l$i"))
+    val bigShingles = docsT.filter(size(col("tk")) >= shingleK)
+      .select(col("doc_id_"), posexplode(col("tk")).as(Seq("pos", "tok")))
+      .select((col("doc_id_") +: col("tok") +: leadCols): _*)
+      .filter(col(s"l${shingleK - 1}").isNotNull)
+      .select(col("doc_id_"), concat_ws(" ",
+        (col("tok") +: (1 until shingleK).map(i => col(s"l$i"))): _*).as("sh"))
+    val smallShingles = docsT.filter(size(col("tk")) < shingleK)
+      .select(col("doc_id_"), concat_ws(" ", col("tk")).as("sh"))
+    val shingles = bigShingles.unionByName(smallShingles)
+    val md5Groups = (numHashes + 3) / 4
+    val withMd5 = shingles.select(col("doc_id_") +:
+      (0 until md5Groups).map(g =>
+        md5(concat(lit(s"$g:"), col("sh"))).as(s"m$g")): _*)
+    val minCols = (0 until numHashes).map { j =>
+      min(conv(substring(col(s"m${j / 4}"), 1 + 8 * (j % 4), 8), 16, 10)
+        .cast("long")).as(s"mh$j")
+    }
+    withMd5.groupBy(col("doc_id_"))
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col("doc_id_"),
+        array((0 until numHashes).map(j => col(s"mh$j")): _*).as("sig"))
   }
 
   /** Benchmark decontamination: exact token-`k`-gram overlap between

@@ -116,6 +116,32 @@ class DedupSimilaritySpec extends AnyFunSuite {
       "unrelated doc must not pair")
   }
 
+  test("minhash signature kernel == relational statement on varied inputs") {
+    // the round-6 generated kernel (plans.MinhashSig) must reproduce
+    // the posexplode+window+min-aggregate statement signature-for-
+    // signature, including the sub-k whole-doc gram, empty docs (one
+    // "" shingle), unicode bytes, and null-text doc exclusion
+    val adversarial = Seq(
+      (200L, ""), (201L, "one"), (202L, "one two"), (203L, "one two three"),
+      (204L, "Tab\tand\nnewline   spaced"), (205L, "ümlaut tökens über straße"),
+      (206L, "punct!!!only???"), (207L, null.asInstanceOf[String]),
+      (208L, "a a a a a"), (209L, "😀 emoji 😀 tokens"))
+      .toDF("doc_id", "text")
+    val both = docs.unionByName(adversarial)
+    val kernel = both.select(col("doc_id").as("doc_id_"),
+        graft.plans.MinhashSig.minhash_sig(
+          split(lower(col("text")), "\\W+"), lit(3), lit(24)).as("sig"))
+      .filter(col("sig").isNotNull)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val relational = Dedup.minhashSigsRelational(both, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(kernel.keySet === relational.keySet)
+    assert(!kernel.keySet.contains(207L)) // null text excluded by both
+    kernel.foreach { case (id, sig) =>
+      assert(sig === relational(id), s"signature mismatch for doc $id")
+    }
+  }
+
   test("mega-bucket stress: the cap bounds pairs and is LOUD (both LSH variants)") {
     // 2000 byte-identical docs — the viral-boilerplate shape: every
     // doc lands in the SAME bucket of every band. Uncapped this is
