@@ -514,12 +514,18 @@ object Dedup {
   def contaminationFraction(df: DataFrame, benchDocs: DataFrame,
                             idCol: String, textCol: String, k: Int = 8,
                             thresholdMilli: Long = 100L): DataFrame = {
-    val grams = tokenGramKeys(df, idCol, textCol, k)
+    // the per-doc gram TOTAL is the size of the kernel's distinct
+    // gram array — a pure map, where the former shape aggregated the
+    // exploded gram stream a second time just to count it
+    val docGrams = df.select(col(idCol).as("doc_id_"),
+        tokenGramKeyArr(textCol, k).as("gks"))
+      .filter(size(col("gks")) > 0) // sub-k and null-text docs have no k-grams
     val bench = tokenGramKeys(benchDocs, idCol, textCol, k)
       .select(col("gk")).distinct()
-    val totals = grams.groupBy(col("doc_id_"))
-      .agg(count(lit(1)).as("total_grams"))
-    val shared = grams.join(broadcast(bench), Seq("gk"))
+    val totals = docGrams.select(col("doc_id_"),
+      size(col("gks")).cast("long").as("total_grams"))
+    val shared = docGrams.select(col("doc_id_"), explode(col("gks")).as("gk"))
+      .join(broadcast(bench), Seq("gk"))
       .groupBy(col("doc_id_"))
       .agg(count(lit(1)).as("shared_grams"))
     totals.join(shared, Seq("doc_id_"), "left")
@@ -530,26 +536,50 @@ object Dedup {
       .withColumn("contaminated", col("contam_milli") >= thresholdMilli)
   }
 
-  /** Distinct (doc, md5(token k-gram)) pairs — posexplode + window
-    * lead (the relational shape; an array-lambda formulation would
-    * re-inline the token array per element, and even the bound-array
-    * zip_with chain measured SLOWER at k=8 — seven interpreted array
-    * re-materializations per row, round-6 measurement).
+  /** Per-doc DISTINCT gram-key ARRAY ([[graft.plans.GramKeys]], one
+    * generated pass per row): null for null text, empty for sub-k
+    * docs (no whole-doc fallback). The former relational shape
+    * (posexplode + window lead + corpus-wide distinct — kept below as
+    * [[gramKeysRelational]], equivalence test-pinned) shuffled the
+    * whole token stream into doc-keyed window sorts and paid a second
+    * full exchange for the distinct; the kernel makes gram derivation
+    * (and the gram COUNT, via `size`) row-local. The within-row
+    * distinct equals the corpus-wide one under the unique-id contract
+    * every catalog table guarantees.
     */
+  private def tokenGramKeyArr(textCol: String, k: Int): Column =
+    graft.plans.GramKeys.gram_keys(
+      split(lower(col(textCol)), "[^a-z0-9_]+"), lit(k), lit(false))
+
+  /** Distinct (doc, md5(token k-gram)) pairs via [[tokenGramKeyArr]]. */
   private def tokenGramKeys(df: DataFrame, idCol: String, textCol: String,
-                            k: Int): DataFrame = {
-    val toks = filter(split(lower(col(textCol)), "[^a-z0-9_]+"),
+                            k: Int): DataFrame =
+    df.select(col(idCol).as("doc_id_"),
+      explode(tokenGramKeyArr(textCol, k)).as("gk"))
+
+  /** The original relational statement of the distinct per-doc gram
+    * keys, parameterized over the tokenizer and the sub-k fallback —
+    * kept as the executable semantics the [[graft.plans.GramKeys]]
+    * kernel must match (equivalence test-pinned); the kernel is the
+    * production path. Returns distinct (doc_id_, gk) rows.
+    */
+  private[graft] def gramKeysRelational(df: DataFrame, idCol: String,
+      textCol: String, k: Int, splitPattern: String,
+      wholeDocFallback: Boolean): DataFrame = {
+    val toks = filter(split(lower(col(textCol)), splitPattern),
       t => length(t) > 0)
+    val docsT = df.select(col(idCol).as("doc_id_"), toks.as("tk"))
     val w = Window.partitionBy("doc_id_").orderBy("pos")
     val leadCols = (1 until k).map(i => lead(col("tok"), i).over(w).as(s"l$i"))
-    df.select(col(idCol).as("doc_id_"), toks.as("tk"))
-      .filter(size(col("tk")) >= k)
+    val big = docsT.filter(size(col("tk")) >= k)
       .select(col("doc_id_"), posexplode(col("tk")).as(Seq("pos", "tok")))
       .select((col("doc_id_") +: col("tok") +: leadCols): _*)
       .filter(col(s"l${k - 1}").isNotNull)
       .select(col("doc_id_"), md5(concat_ws(" ",
         (col("tok") +: (1 until k).map(i => col(s"l$i"))): _*)).as("gk"))
-      .distinct()
+    val small = docsT.filter(size(col("tk")) < k)
+      .select(col("doc_id_"), md5(concat_ws(" ", col("tk"))).as("gk"))
+    (if (wholeDocFallback) big.unionByName(small) else big).distinct()
   }
 
   /** SQL-portable SimHash sketch, PURE CATALYST: per-token 32-bit
@@ -665,20 +695,19 @@ object Dedup {
     */
   def ngramContainment(pairs: DataFrame, docs: DataFrame, idCol: String,
                        textCol: String, k: Int = 3): DataFrame = {
-    val toks = filter(split(lower(col(textCol)), "\\W+"), t => length(t) > 0)
-    val docsT = docs.select(col(idCol).as("cid"), toks.as("tk"))
-    val w = Window.partitionBy("cid").orderBy("pos")
-    val leadCols = (1 until k).map(i => lead(col("tok"), i).over(w).as(s"l$i"))
-    val big = docsT.filter(size(col("tk")) >= k)
-      .select(col("cid"), posexplode(col("tk")).as(Seq("pos", "tok")))
-      .select((col("cid") +: col("tok") +: leadCols): _*)
-      .filter(col(s"l${k - 1}").isNotNull)
-      .select(col("cid"), md5(concat_ws(" ",
-        (col("tok") +: (1 until k).map(i => col(s"l$i"))): _*)).as("g"))
-    val small = docsT.filter(size(col("tk")) < k)
-      .select(col("cid"), md5(concat_ws(" ", col("tk"))).as("g"))
-    val grams = big.unionByName(small).distinct()
-    val counts = grams.groupBy("cid").agg(count(lit(1)).as("n"))
+    // per-doc distinct gram keys in one generated pass
+    // ([[graft.plans.GramKeys]], whole-doc fallback for sub-k docs —
+    // the same derivation as the portable MinHash shingles); gram
+    // COUNTS are the array size, a pure map — the former relational
+    // shape (kept as [[gramKeysRelational]], equivalence test-pinned)
+    // paid a doc-keyed window shuffle, a corpus-wide distinct AND a
+    // counting aggregate for what one projection now computes.
+    val docsK = docs.select(col(idCol).as("cid"),
+        graft.plans.GramKeys.gram_keys(
+          split(lower(col(textCol)), "\\W+"), lit(k), lit(true)).as("gs"))
+      .filter(col("gs").isNotNull) // null-text docs carry no grams
+    val grams = docsK.select(col("cid"), explode(col("gs")).as("g"))
+    val counts = docsK.select(col("cid"), size(col("gs")).cast("long").as("n"))
 
     val shared = pairs.select(col("id_a"), col("id_b"))
       .join(grams.select(col("cid").as("id_a"), col("g")), Seq("id_a"))

@@ -142,6 +142,38 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("gram-key kernel == relational statement (both tokenizers, both fallbacks)") {
+    // plans.GramKeys must reproduce the posexplode+window+distinct
+    // statement's (doc, gk) set for the tokenGramKeys config (k=8,
+    // [^a-z0-9_]+, sub-k docs excluded) AND the ngramContainment
+    // config (k=3, \W+, whole-doc fallback)
+    val adversarial = Seq(
+      (300L, ""), (301L, "just two"), (302L, "repeat repeat repeat repeat " +
+        "repeat repeat repeat repeat repeat repeat"),
+      (303L, null.asInstanceOf[String]), (304L, "ümlaut tökens über straße " +
+        "mixed UPPER case words here and more of them too"),
+      (305L, "exactly eight tokens in this very sentence here"))
+      .toDF("doc_id", "text")
+    val both = docs.unionByName(adversarial)
+    for ((k, pat, fb) <- Seq((8, "[^a-z0-9_]+", false), (3, "\\W+", true))) {
+      val kernel = both.select(col("doc_id").as("doc_id_"),
+          explode(graft.plans.GramKeys.gram_keys(
+            split(lower(col("text")), pat), lit(k), lit(fb))).as("gk"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      val relational = Dedup.gramKeysRelational(both, "doc_id", "text", k, pat, fb)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(kernel === relational, s"k=$k pattern=$pat fallback=$fb")
+      // per-row arrays must also be duplicate-free (the distinct claim)
+      val sizes = both.select(col("doc_id"),
+          graft.plans.GramKeys.gram_keys(
+            split(lower(col("text")), pat), lit(k), lit(fb)).as("gs"))
+        .filter(col("gs").isNotNull)
+        .select(col("doc_id"), size(col("gs")).as("n"),
+          size(array_distinct(col("gs"))).as("nd")).collect()
+      sizes.foreach(r => assert(r.getInt(1) === r.getInt(2), s"dup in row $r"))
+    }
+  }
+
   test("mega-bucket stress: the cap bounds pairs and is LOUD (both LSH variants)") {
     // 2000 byte-identical docs — the viral-boilerplate shape: every
     // doc lands in the SAME bucket of every band. Uncapped this is

@@ -517,22 +517,19 @@ class StreamingAndPlanSpec extends AnyFunSuite {
       "the diff is join+project only — no window")
   }
 
-  test("ngramContainment plan: per-doc windows only, no cartesian") {
-    // the shingle builder's lead windows partition by the DOC key;
-    // everything downstream is equi-joins + aggregates — a cartesian
-    // or BNLJ would mean the pair join degenerated.
+  test("ngramContainment plan: window-free gram build, no cartesian") {
+    // round-6: the gram builder is the generated GramKeys kernel — a
+    // pure map, so NO window may appear anywhere (the former lead
+    // windows shuffled the token stream by doc); everything downstream
+    // is equi-joins + aggregates — a cartesian or BNLJ would mean the
+    // pair join degenerated.
     import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
     import org.apache.spark.sql.execution.window.WindowExec
     val out = SparkEntry.queries("q_containment_pairs")(spark, sfDir)
     assert(out.count() > 0)
     val nodes = planNodes(out.queryExecution.executedPlan)
-    val windows = nodes.collect { case w: WindowExec => w }
-    assert(windows.nonEmpty, "the shingle builder still rides lead windows")
-    windows.foreach { w =>
-      val parts = w.partitionSpec.flatMap(_.references.toSeq).map(_.name).toSet
-      assert(parts == Set("cid"),
-        s"window must partition by the doc key, got $parts:\n$w")
-    }
+    assert(nodes.collect { case w: WindowExec => w }.isEmpty,
+      "gram derivation must stay a pure map — no window anywhere")
     assert(nodes.collect { case c: CartesianProductExec => c }.isEmpty)
     assert(nodes.collect { case b: BroadcastNestedLoopJoinExec => b }.isEmpty)
   }
