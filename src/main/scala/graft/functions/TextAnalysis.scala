@@ -179,6 +179,30 @@ object TextAnalysis {
   def winnowFingerprintsTokens(df: org.apache.spark.sql.DataFrame, idCol: String,
                                textCol: String, k: Int = 5, w: Int = 8)
       : org.apache.spark.sql.DataFrame = {
+    // ONE generated pass per row ([[graft.plans.WinnowStats]]): gram
+    // hashing, the sliding minima and the distinct/min/max summary are
+    // all row-local, so the operator is a PURE MAP — the relational
+    // statement below ([[winnowFingerprintsTokensRelational]],
+    // equivalence test-pinned) shuffled the whole token stream into
+    // two doc-keyed window passes plus an aggregate for three per-row
+    // numbers. Null-text docs yield a null struct and are dropped,
+    // exactly like the relational size filters.
+    val g = graft.plans.WinnowStats.winnow_stats(
+      split(lower(col(textCol)), "[^a-z0-9_]+"), lit(k), lit(w))
+    df.select(col(idCol), g.as("g"))
+      .filter(col("g").isNotNull)
+      .select(col(idCol), col("g.n_fingerprints").as("n_fingerprints"),
+        col("g.min_fp").as("min_fp"), col("g.max_fp").as("max_fp"))
+  }
+
+  /** The original relational statement of [[winnowFingerprintsTokens]]
+    * — kept as the executable semantics the native kernel must match
+    * (equivalence test-pinned); the kernel is the production path.
+    */
+  private[graft] def winnowFingerprintsTokensRelational(
+      df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, k: Int = 5, w: Int = 8)
+      : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = filter(split(lower(col(textCol)), "[^a-z0-9_]+"), t => length(t) > 0)
     val docsT = df.select(col(idCol), toks.as("tk"))

@@ -604,7 +604,25 @@ object Dedup {
     * never wins a bit). Returns (doc_id_, sketch).
     */
   private def portableSketches(df: DataFrame, idCol: String, textCol: String,
-                               bits: Int): DataFrame = {
+                               bits: Int): DataFrame =
+    // the WHOLE majority-vote sketch in one generated pass per row
+    // ([[graft.plans.PortableSimhash]]) — a PURE MAP fused with the
+    // scan; the relational statement (explode + hash projection + one
+    // bits-column vote aggregate, kept below as
+    // [[portableSketchesRelational]], equivalence test-pinned)
+    // shuffled every token hash into a doc-keyed aggregate for one
+    // per-row long. Token-less and null-text docs sketch to 0, the
+    // explode_outer behavior.
+    df.select(col(idCol).as("doc_id_"),
+      graft.plans.PortableSimhash.portable_simhash(
+        split(lower(col(textCol)), "\\W+"), lit(bits)).as("sketch"))
+
+  /** The original relational statement of [[portableSketches]] — kept
+    * as the executable semantics the native kernel must match
+    * (equivalence test-pinned); the kernel is the production path.
+    */
+  private[graft] def portableSketchesRelational(df: DataFrame, idCol: String,
+      textCol: String, bits: Int): DataFrame = {
     val hrows = df.select(col(idCol).as("doc_id_"),
         explode_outer(filter(split(lower(col(textCol)), "\\W+"),
           t => length(t) > 0)).as("tok"))

@@ -174,6 +174,41 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("portable simhash kernel == relational vote aggregate") {
+    val adversarial = Seq(
+      (400L, ""), (401L, "one"), (402L, null.asInstanceOf[String]),
+      (403L, "ümlaut tökens über straße"), (404L, "a a b b balanced votes"),
+      (405L, "punct!!!only???"))
+      .toDF("doc_id", "text")
+    val both = docs.unionByName(adversarial)
+    val kernel = both.select(col("doc_id").as("doc_id_"),
+        graft.plans.PortableSimhash.portable_simhash(
+          split(lower(col("text")), "\\W+"), lit(32)).as("sketch"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val relational = Dedup.portableSketchesRelational(both, "doc_id", "text", 32)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(kernel === relational)
+    assert(kernel(400L) === 0L && kernel(402L) === 0L) // token-less -> 0
+  }
+
+  test("winnow-stats kernel == relational two-window statement") {
+    import graft.functions.TextAnalysis
+    val adversarial = Seq(
+      (500L, ""), (501L, "four tokens too few"), (502L, "exactly five tokens " +
+        "right here"), (503L, null.asInstanceOf[String]),
+      (504L, ("many tokens " * 40).trim), (505L, "ümlaut tökens über straße " +
+        "and some more filler words to cross the gram floor"))
+      .toDF("doc_id", "text")
+    val both = docs.unionByName(adversarial)
+    val kernel = TextAnalysis.winnowFingerprintsTokens(both, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2), r.getLong(3)))).toMap
+    val relational = TextAnalysis
+      .winnowFingerprintsTokensRelational(both, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(kernel === relational)
+    assert(!kernel.keySet.contains(503L)) // null text excluded by both
+  }
+
   test("mega-bucket stress: the cap bounds pairs and is LOUD (both LSH variants)") {
     // 2000 byte-identical docs — the viral-boilerplate shape: every
     // doc lands in the SAME bucket of every band. Uncapped this is
