@@ -412,27 +412,19 @@ object Curation {
   def dsirWeights(df: DataFrame, idCol: String, textCol: String,
                   targetPred: Column, buckets: Int = 65536): DataFrame = {
     require(buckets >= 2, s"buckets must be >= 2, got $buckets")
-    // posexplode + lead, never an array column inside a lambda (the
-    // projection-collapse O(n²) foot-gun) — same idiom as
-    // [[familiarityScore]]'s bigram builder.
-    val toks = df.select(col(idCol).as("doc_id_"),
+    // feature ids per row in one generated pass
+    // ([[graft.plans.FeatureHashes]]): the same uni+bigram occurrence
+    // multiset the former posexplode + doc-keyed lead window + explode
+    // derivation emitted, without shuffling the token stream at all —
+    // the bounded bucket-count aggregate and the per-doc sum are the
+    // operator's only remaining exchanges. (Equivalence is pinned by
+    // the feature-multiset test in CurationSpec; an interpreted
+    // zip_with formulation was measured ~2× slower in round 6 before
+    // the native kernel existed.)
+    val feats = df.select(col(idCol).as("doc_id_"),
       targetPred.as("is_target"),
-      posexplode(filter(split(lower(col(textCol)), "[^a-z0-9_']+"),
-        t => length(t) > 0)).as(Seq("pos", "tok")))
-    val wDoc = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id_").orderBy("pos")
-    val withNext = toks.withColumn("nxt", lead(col("tok"), 1).over(wDoc))
-    // each token row emits its unigram plus (when a successor exists)
-    // its bigram from ONE window pass — the old two-branch union
-    // duplicated the whole tokenize+posexplode+window subtree per
-    // branch (two scans, two window sorts, for one row multiset;
-    // guide §2.4)
-    val feats = withNext.select(col("doc_id_"), col("is_target"),
-        explode(when(col("nxt").isNotNull,
-            array(col("tok"), concat_ws(" ", col("tok"), col("nxt"))))
-          .otherwise(array(col("tok")))).as("g"))
-      .select(col("doc_id_"), col("is_target"),
-        pmod(TextAnalysis.portableHash(col("g")), lit(buckets)).as("f"))
+      explode(graft.plans.FeatureHashes.feature_hashes(
+        split(lower(col(textCol)), "[^a-z0-9_']+"), lit(buckets))).as("f"))
     // BOTH count distributions from ONE aggregate pass over the
     // feature stream (guide §2.4): the former separate `tgt` branch
     // re-ran the whole tokenize+window+explode subtree under a filter

@@ -878,6 +878,48 @@ object Dedup {
   def duplicateSpanScrub(df: DataFrame, idCol: String, textCol: String,
                          k: Int = 8, minDf: Int = 2): DataFrame = {
     require(k >= 1, "gram length k must be >= 1")
+    // round-6 shape: gram keys per row ([[graft.plans.GramKeySeq]] —
+    // posexplode reproduces the former (pos, hash) rows without the
+    // doc-keyed window shuffle), the corpus-wide gram-df verdict
+    // exactly as before (the one FUNDAMENTAL exchange of this
+    // operator), then the flagged POSITIONS come back per doc as one
+    // small array and the whole coverage/kept-hash summary is a
+    // generated per-row kernel ([[graft.plans.SpanCoverage]]). The
+    // former relational tail — token stream joined against the flags,
+    // two doc-keyed window passes, a per-doc collect_list sort of
+    // EVERY token — is kept as [[duplicateSpanScrubRelational]],
+    // equivalence test-pinned. The flagged-position lists are bounded
+    // by doc length, strictly smaller than the old all-token
+    // collect_list.
+    val rawToks = split(lower(col(textCol)), "[^a-z0-9_]+")
+    val docsK = df.select(col(idCol).cast("long").as("doc_id"),
+      rawToks.as("rtk"))
+    val grams = docsK.select(col("doc_id"),
+      posexplode(graft.plans.GramKeySeq.gram_key_seq(col("rtk"), lit(k)))
+        .as(Seq("pos", "h")))
+    val dup = grams.groupBy("h")
+      .agg(count_distinct(col("doc_id")).as("docf"))
+      .filter(col("docf") >= minDf)
+      .select("h")
+    val flaggedPos = grams.join(dup, Seq("h"), "left_semi")
+      .groupBy("doc_id").agg(collect_list(col("pos")).as("fpos"))
+    docsK.join(flaggedPos, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        graft.plans.SpanCoverage.span_coverage(col("rtk"), col("fpos"),
+          lit(k)).as("g"))
+      .select(col("doc_id"),
+        col("g.n_tokens").as("n_tokens"), col("g.n_spans").as("n_spans"),
+        col("g.n_covered").as("n_covered"), col("g.kept_hash").as("kept_hash"))
+  }
+
+  /** The original relational statement of [[duplicateSpanScrub]] —
+    * kept as the executable semantics the GramKeySeq/SpanCoverage
+    * kernels must match (equivalence test-pinned); the kernel path is
+    * the production one.
+    */
+  private[graft] def duplicateSpanScrubRelational(df: DataFrame, idCol: String,
+      textCol: String, k: Int = 8, minDf: Int = 2): DataFrame = {
+    require(k >= 1, "gram length k must be >= 1")
     val toks = df.select(col(idCol).cast("long").as("doc_id"),
       posexplode(filter(split(lower(col(textCol)), "[^a-z0-9_]+"),
         t => length(t) > 0)).as(Seq("pos", "tok")))

@@ -209,6 +209,30 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(!kernel.keySet.contains(503L)) // null text excluded by both
   }
 
+  test("span-scrub kernel path == relational statement") {
+    // the GramKeySeq + SpanCoverage pipeline must reproduce the
+    // window-based statement row-for-row: same flags, same span runs,
+    // same kept-text hash — including overlap merges, doc-boundary
+    // clipping, sub-k docs, empty and null text
+    val shared = "alpha bravo charlie delta echo foxtrot golf hotel india"
+    val rows = Seq(
+      (600L, s"intro words $shared middle passage $shared outro close here"),
+      (601L, s"$shared completely other tail content of this document"),
+      (602L, "unique content nothing shared with any other document at all"),
+      (603L, ""), (604L, null.asInstanceOf[String]), (605L, "short doc"),
+      (606L, s"$shared"), (607L, s"prefix $shared"))
+      .toDF("doc_id", "text")
+    val kernel = Dedup.duplicateSpanScrub(rows, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    val relational = Dedup.duplicateSpanScrubRelational(rows, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(kernel === relational)
+    assert(kernel(602L)._2 === 0L) // unique doc keeps everything
+    assert(kernel(600L)._2 >= 1L) // shared block flagged
+  }
+
   test("mega-bucket stress: the cap bounds pairs and is LOUD (both LSH variants)") {
     // 2000 byte-identical docs — the viral-boilerplate shape: every
     // doc lands in the SAME bucket of every band. Uncapped this is

@@ -481,6 +481,39 @@ class StateAndOperatorsSpec extends AnyFunSuite {
     assert(out(1L)._3 > out(5L)._3, "familiar text must outscore gibberish")
   }
 
+  test("dsir feature-hash kernel == windowed uni+bigram derivation (multiset)") {
+    // plans.FeatureHashes must emit the same (doc, feature-id)
+    // occurrence multiset as the former posexplode + lead-window +
+    // explode statement — counts and per-doc sums see nothing else
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Seq((1L, "apple banana cherry apple banana"),
+      (2L, ""), (3L, null.asInstanceOf[String]), (4L, "solo"),
+      (5L, "ümlaut tökens über straße don't stop"), (6L, "a b a b a b"))
+      .toDF("doc_id", "text")
+    val buckets = 64 // small table forces collisions; multisets must still agree
+    val kernel = docs.select(col("doc_id"),
+        explode(graft.plans.FeatureHashes.feature_hashes(
+          split(lower(col("text")), "[^a-z0-9_']+"), lit(buckets))).as("f"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val relational = docs.select(col("doc_id"),
+        posexplode(filter(split(lower(col("text")), "[^a-z0-9_']+"),
+          t => length(t) > 0)).as(Seq("pos", "tok")))
+      .withColumn("nxt", lead(col("tok"), 1).over(wDoc))
+      .select(col("doc_id"), explode(when(col("nxt").isNotNull,
+          array(col("tok"), concat_ws(" ", col("tok"), col("nxt"))))
+        .otherwise(array(col("tok")))).as("g"))
+      .select(col("doc_id"), pmod(
+        graft.functions.TextAnalysis.portableHash(col("g")),
+        lit(buckets)).as("f"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(identity).view.mapValues(_.size).toMap
+    assert(kernel === relational)
+  }
+
   test("dsirWeights: target-like docs outweigh raw-only, DIV truncates toward zero") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
