@@ -60,14 +60,33 @@ object TextAnalysis {
     * delegated to an external service we must not call.)
     */
   def langId(text: Column): Column = {
+    // ONE generated [[graft.plans.LangPick]] pass over ONE codegen'd
+    // tokenization: hit counting AND the ratio/argmax decision live in
+    // the kernel (the arithmetic replicated verbatim, IEEE doubles) —
+    // bit-identical to the interpreted fold ([[langIdFold]], kept as
+    // the executable semantics statement, equivalence test-pinned).
+    // Two intermediate forms were measured SLOWER and rejected: three
+    // separate TokenStats calls re-ran the split per call, and a
+    // counts-array kernel referenced from the Catalyst when-chain was
+    // re-evaluated once PER REFERENCE (CaseWhen branches are excluded
+    // from whole-stage subexpression elimination). The coalesce
+    // supplies the original null-text "es" fallthrough.
+    coalesce(graft.plans.LangPick.lang_pick(
+      split(lower(text), "[^a-zA-Zäöüßáéíóúñ']+"),
+      array(Seq(EnStop, DeStop, EsStop)
+        .map(s => array(s.map(lit): _*)): _*)), lit("es"))
+  }
+
+  /** The single-fold HOF form of [[langId]], kept as the executable
+    * semantics statement the TokenStats formulation must match
+    * (equivalence test-pinned).
+    */
+  private[graft] def langIdFold(text: Column): Column = {
     // ONE pass over ONE tokenization: the three per-language hit
     // counts (plus the token count) ride a single fold accumulator,
-    // and the argmax happens in the finish lambda. The previous form
-    // called stopwordRatio three times — three independent `split`s of
-    // the text plus three filter passes per row (HOF subtrees are
-    // CodegenFallback, so common-subexpression elimination never
-    // merged them). The ratio arithmetic in the finish lambda is the
-    // ORIGINAL expression verbatim (same double divisions, same
+    // and the argmax happens in the finish lambda. The ratio
+    // arithmetic in the finish lambda is the ORIGINAL expression
+    // verbatim (same double divisions, same
     // comparisons), so results are bit-identical.
     val w = words(text)
     val zero = struct(lit(0).as("en"), lit(0).as("de"), lit(0).as("es"),
@@ -586,6 +605,30 @@ object TextAnalysis {
   def chunkTokens(df: org.apache.spark.sql.DataFrame, idCol: String,
                   textCol: String, window: Int = 64, stride: Int = 48,
                   minTokens: Int = 8): org.apache.spark.sql.DataFrame = {
+    require(stride > 0 && stride <= window && minTokens >= 1)
+    // every chunk is a contiguous token slice, so the whole chunking —
+    // ids, counts, window hashes — is row-local: ONE generated pass
+    // ([[graft.plans.ChunkHashes]]) + explode. The former shape
+    // posexploded every token into ≤ ceil(window/stride) chunk rows
+    // and aggregated per (doc, chunk) with a collect_list sort — a
+    // corpus-sized shuffle for per-row-computable values (guide §2.4).
+    // Relational statement kept as [[chunkTokensRelational]],
+    // equivalence test-pinned.
+    val ch = graft.plans.ChunkHashes.chunk_hashes(
+      split(lower(col(textCol)), "[^a-z0-9_']+"),
+      lit(window), lit(stride), lit(minTokens))
+    df.select(col(idCol), explode(ch).as("c"))
+      .select(col(idCol), col("c.chunk_id").as("chunk_id"),
+        col("c.n_tokens").as("n_tokens"), col("c.chunk_hash").as("chunk_hash"))
+  }
+
+  /** The original relational statement of [[chunkTokens]] — kept as
+    * the executable semantics the native kernel must match
+    * (equivalence test-pinned); the kernel is the production path.
+    */
+  private[graft] def chunkTokensRelational(df: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String, window: Int = 64, stride: Int = 48,
+      minTokens: Int = 8): org.apache.spark.sql.DataFrame = {
     require(stride > 0 && stride <= window && minTokens >= 1)
     val toks = filter(split(lower(col(textCol)), "[^a-z0-9_']+"),
       t => length(t) > 0)

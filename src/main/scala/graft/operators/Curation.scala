@@ -504,14 +504,18 @@ object Curation {
     */
   def knContinuationCounts(df: DataFrame, idCol: String,
       textCol: String): DataFrame = {
-    val toks = df.select(col(idCol).as("doc_id_"),
-      posexplode(filter(split(lower(col(textCol)), "[^a-z0-9_]+"),
-        t => length(t) > 0)).as(Seq("pos", "w")))
-    val wDoc = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id_").orderBy("pos")
-    toks.withColumn("prev", lag(col("w"), 1).over(wDoc))
-      .groupBy(col("w").as("word"))
+    // (prev, word) pairs per row in one generated pass
+    // ([[graft.plans.AdjacentPairs]]): the former posexplode +
+    // doc-keyed `lag` window shuffled the whole token stream to pair
+    // each token with its predecessor — row-local by construction
+    // (guide §2.4; the interpreted zip_with formulation was measured
+    // SLOWER than the window in round 6, the generated kernel is not).
+    // The word-keyed count aggregate — the one fundamental exchange —
+    // is unchanged, and pair equivalence is test-pinned.
+    df.select(explode(graft.plans.AdjacentPairs.adjacent_pairs(
+        split(lower(col(textCol)), "[^a-z0-9_]+"))).as("p"))
+      .groupBy(col("p.w").as("word"))
       .agg(count(lit(1)).as("c_total"),
-        countDistinct(col("prev")).as("n_cont"))
+        countDistinct(col("p.prev")).as("n_cont"))
   }
 }

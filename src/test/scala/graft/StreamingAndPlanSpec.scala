@@ -464,23 +464,19 @@ class StreamingAndPlanSpec extends AnyFunSuite {
       "no join, so no broadcast should appear")
   }
 
-  test("knContinuationCounts plan: per-doc windows only, one aggregate, no join") {
-    // the predecessor rides each token row via a window partitioned by
-    // the DOC key (bounded by that doc's own length — the
-    // sessionization discipline, never a corpus-global sort), then ONE
-    // groupBy(word) computes both counts; there must be no join back.
+  test("knContinuationCounts plan: window-free pairs, one aggregate, no join") {
+    // round-6: the predecessor pairs come from the generated
+    // AdjacentPairs kernel — a pure map, so NO window may appear (the
+    // former shape shuffled the token stream into a per-doc lag
+    // window); ONE groupBy(word) computes both counts; there must
+    // still be no join back.
     import org.apache.spark.sql.execution.window.WindowExec
     import org.apache.spark.sql.execution.joins.BaseJoinExec
     val out = SparkEntry.queries("q_kn_counts")(spark, sfDir)
     assert(out.count() > 0)
     val nodes = planNodes(out.queryExecution.executedPlan)
-    val windows = nodes.collect { case w: WindowExec => w }
-    assert(windows.nonEmpty, "the lag still rides a per-doc window")
-    windows.foreach { w =>
-      val parts = w.partitionSpec.flatMap(_.references.toSeq).map(_.name).toSet
-      assert(parts == Set("doc_id_"),
-        s"window must partition by the doc key, got $parts:\n$w")
-    }
+    assert(nodes.collect { case w: WindowExec => w }.isEmpty,
+      "pair derivation must stay a per-row map — no window anywhere")
     assert(nodes.collect { case j: BaseJoinExec => j }.isEmpty,
       "count(*) and count(DISTINCT prev) share one aggregate — no join back")
   }

@@ -288,6 +288,60 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("chunkTokens kernel == relational statement") {
+    val texts = Seq(
+      (1L, (0 until 25).map(i => s"t$i").mkString(" ")),
+      (2L, "only three tokens"), (3L, ""), (4L, null.asInstanceOf[String]),
+      (5L, (0 until 200).map(i => s"w${i % 13}").mkString(" ")),
+      (6L, "ümlaut tökens " * 30))
+      .toDF("doc_id", "text")
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> ((r.getInt(2), r.getString(3))))
+      .toMap
+    val kernel = asMap(TextAnalysis.chunkTokens(texts, "doc_id", "text",
+      window = 10, stride = 8, minTokens = 4))
+    val relational = asMap(TextAnalysis.chunkTokensRelational(texts,
+      "doc_id", "text", window = 10, stride = 8, minTokens = 4))
+    assert(kernel === relational)
+    assert(kernel.keySet.map(_._1) === Set(1L, 5L, 6L))
+  }
+
+  test("adjacent-pairs kernel == lag-window derivation (KN pair multiset)") {
+    import org.apache.spark.sql.expressions.Window
+    val texts = Seq((1L, "a b c a b"), (2L, ""), (3L, null.asInstanceOf[String]),
+      (4L, "solo"), (5L, "x!!!y punct り splits"))
+      .toDF("doc_id", "text")
+    val kernel = texts.select(
+        explode(graft.plans.AdjacentPairs.adjacent_pairs(
+          split(lower($"text"), "[^a-z0-9_]+"))).as("p"))
+      .select($"p.prev", $"p.w").collect()
+      .map(r => (Option(r.getString(0)), r.getString(1)))
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val wDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val relational = texts.select($"doc_id",
+        posexplode(filter(split(lower($"text"), "[^a-z0-9_]+"),
+          t => length(t) > 0)).as(Seq("pos", "w")))
+      .withColumn("prev", lag($"w", 1).over(wDoc))
+      .select($"prev", $"w").collect()
+      .map(r => (Option(r.getString(0)), r.getString(1)))
+      .groupBy(identity).view.mapValues(_.size).toMap
+    assert(kernel === relational)
+  }
+
+  test("langId TokenStats form == fold form on varied inputs") {
+    val texts = Seq(null, "", "the cat sat on the mat and it was happy",
+      "der Hund und die Katze sind nicht im Haus aber auch",
+      "el perro y el gato en la casa que no era este",
+      "zzz qqq vvv no stopwords here", "mixed the der el und y of von de",
+      "ümlaut für straße auf im", "a", "THE THE THE")
+    val df = texts.toDF("text")
+    val rows = df.select(TextAnalysis.langId($"text").as("k"),
+      coalesce(TextAnalysis.langIdFold($"text"), lit("es")).as("f")).collect()
+    rows.zip(texts).foreach { case (r, t) =>
+      assert(r.getString(0) === r.getString(1), s"langId mismatch on '$t'")
+    }
+  }
+
   test("hashClassifierScore native kernel == HOF fold form on varied inputs") {
     // the round-6 codegen'd kernel (plans.ClassifierScore) must match
     // the original aggregate/zip_with statement bit-for-bit, including
