@@ -173,11 +173,22 @@ object Dedup {
       while (i < a.length) { if (a(i) == b(i)) same += 1; i += 1 }
       same.toDouble / a.length
     }
+    // estimate + threshold BEFORE the pair dedup: the pair determines
+    // its signatures, so est_jaccard is identical on every duplicate
+    // candidate row and filter∘dedup ≡ dedup∘filter — the dedup
+    // exchange then carries (long, long, double) instead of two
+    // numHashes-long signature arrays (guide §2.3/§8), and the
+    // dedup is a map-side-combinable hash aggregate instead of the
+    // Sort+SortAggregate Spark falls back to when First() holds an
+    // array. A pair sharing b bands evaluates the estimate b times —
+    // numHashes compares per copy, cheaper than sort-shuffling the
+    // arrays those copies carried.
     left.join(right, Seq("band", "bkey"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sig_a", "sig_b").distinct()
-      .withColumn("est_jaccard", simUdf(col("sig_a"), col("sig_b")))
+      .select(col("id_a"), col("id_b"),
+        simUdf(col("sig_a"), col("sig_b")).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
+      .dropDuplicates("id_a", "id_b")
       .select("id_a", "id_b", "est_jaccard")
   }
 
@@ -412,14 +423,19 @@ object Dedup {
       col("doc_id_").as("id_a"), col("sig").as("sig_a"))
     val right = capped.select(col("band"), col("bkey"),
       col("doc_id_").as("id_b"), col("sig").as("sig_b"))
+    // estimate + threshold BEFORE the pair dedup (same proxy-dedup
+    // rationale as [[minhashPairs]], stated there): identical rows
+    // out, scalar-only dedup exchange, hash aggregate instead of the
+    // array-payload sort aggregate.
     left.join(right, Seq("band", "bkey"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sig_a", "sig_b").distinct()
-      .withColumn("est_jaccard",
+      .select(col("id_a"), col("id_b"),
         round(aggregate(zip_with(col("sig_a"), col("sig_b"),
             (x, y) => when(x === y, 1).otherwise(0)),
-          lit(0), (acc, v) => acc + v).cast("double") / numHashes, 4))
+          lit(0), (acc, v) => acc + v).cast("double") / numHashes, 4)
+          .as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
+      .dropDuplicates("id_a", "id_b")
       .select("id_a", "id_b", "est_jaccard")
   }
 

@@ -109,14 +109,16 @@ object Similarity {
     }
     val qb = bucketed(queries, "query_id", "qvec")
     val cb = bucketed(corpus, "neighbor_id", "cvec")
+    // cosine BEFORE the candidate dedup (see [[lshTopKPortable]] for
+    // the rationale — identical results, scalar-only dedup exchange)
     val candidates = qb.join(cb, Seq("table", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select("query_id", "qvec", "neighbor_id", "cvec")
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qvec"), col("cvec")).as("cosine"))
       .dropDuplicates("query_id", "neighbor_id")
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    candidates.withColumn("cosine", cosine(col("qvec"), col("cvec")))
-      .withColumn("rank", row_number().over(w))
+    candidates.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
@@ -183,14 +185,29 @@ object Similarity {
       bucketedPortable(df, idName, vecName, dim, bits, tables)
     val qb = bucketed(queries, "query_id", "qvec")
     val cb = bucketed(corpus, "neighbor_id", "cvec")
+    // The exact rerank cosine is computed BEFORE the candidate dedup
+    // and the vec arrays are dropped at the join's projection: the
+    // (query, neighbor) pair fully determines the cosine (same two
+    // vectors through the same sequential fold), so deduplicating
+    // (ids, cosine) rows is result-identical to deduplicating vec
+    // rows — and the dedup exchange now carries three scalars instead
+    // of two dim-length float arrays (guide §2.3/§8: every shuffle
+    // but the payload-bearing one moves a lightweight proxy). It also
+    // turns the dedup from a Sort+SortAggregate (First over an array
+    // is not a mutable aggregate buffer, so Spark falls back to the
+    // sort-based aggregate) into a map-side-combinable hash
+    // aggregate. Cost: a duplicate candidate (≤ `tables` copies per
+    // pair) evaluates its dot product once per copy instead of once
+    // per pair — dim multiply-adds in a generated loop, strictly
+    // cheaper than sort-shuffling the arrays those copies carried.
     val candidates = qb.join(cb, Seq("table", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select("query_id", "qvec", "neighbor_id", "cvec")
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qvec"), col("cvec")).as("cosine"))
       .dropDuplicates("query_id", "neighbor_id")
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    candidates.withColumn("cosine", cosine(col("qvec"), col("cvec")))
-      .withColumn("rank", row_number().over(w))
+    candidates.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
@@ -200,12 +217,18 @@ object Similarity {
                              bits: Int = 8, tables: Int = 6): DataFrame = {
     def bucketed(idName: String, vecName: String): DataFrame =
       bucketedPortable(df, idName, vecName, dim, bits, tables)
+    // cosine AND the threshold filter run BEFORE the pair dedup (see
+    // [[lshTopKPortable]]): the pair determines the cosine, so
+    // filter∘dedup ≡ dedup∘filter — and pushing the filter below the
+    // dedup exchange drops every below-threshold candidate before it
+    // is shuffled at all (guide §2.3), while the dedup itself moves
+    // (long, long, double) rows instead of two float arrays.
     bucketed("id_a", "vec_a").join(bucketed("id_b", "vec_b"), Seq("table", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "vec_a", "id_b", "vec_b")
-      .dropDuplicates("id_a", "id_b")
-      .withColumn("cosine", cosine(col("vec_a"), col("vec_b")))
+      .select(col("id_a"), col("id_b"),
+        cosine(col("vec_a"), col("vec_b")).as("cosine"))
       .filter(col("cosine") >= threshold)
+      .dropDuplicates("id_a", "id_b")
       .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
   }
 
@@ -222,12 +245,13 @@ object Similarity {
       }
       perTable.reduce(_ unionByName _)
     }
+    // same scalar-proxy dedup as [[cosineDupPairsPortable]]
     bucketed("id_a", "vec_a").join(bucketed("id_b", "vec_b"), Seq("table", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "vec_a", "id_b", "vec_b")
-      .dropDuplicates("id_a", "id_b")
-      .withColumn("cosine", cosine(col("vec_a"), col("vec_b")))
+      .select(col("id_a"), col("id_b"),
+        cosine(col("vec_a"), col("vec_b")).as("cosine"))
       .filter(col("cosine") >= threshold)
+      .dropDuplicates("id_a", "id_b")
       .select("id_a", "id_b", "cosine")
   }
 
